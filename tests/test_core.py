@@ -52,11 +52,13 @@ def test_fasta_parser_reference_fixture():
 
 
 def test_fasta_parser_gzip_and_filter():
-    p = create_fasta_parser(
-        "/root/reference/cudamapper/data/covid-reads.fasta.gz", min_sequence_length=1000
+    p = create_fasta_parser("/root/reference/cudamapper/data/covid-reads.fasta.gz")
+    assert len(p) == 3000
+    p_filtered = create_fasta_parser(
+        "/root/reference/cudamapper/data/covid-reads.fasta.gz", min_sequence_length=400
     )
-    assert len(p) > 0
-    assert all(len(s.seq) >= 1000 for s in p.sequences())
+    assert 0 < len(p_filtered) < 3000
+    assert all(len(s.seq) >= 400 for s in p_filtered.sequences())
 
 
 def test_paf_roundtrip(tmp_path):
