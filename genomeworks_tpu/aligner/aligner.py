@@ -1,0 +1,186 @@
+"""Batched aligner API.
+
+Reference: cudaaligner/include/.../aligner.hpp:62-219 (``Aligner`` /
+``FixedBandAligner``: add_alignment -> align_all -> get_alignments) and
+src/aligner_global_myers_banded.cpp (the primary banded implementation with
+dynamic buffer growth and band retry).
+
+TPU design: alignments accumulate on host, are grouped into static-shape
+length buckets (replacing the reference's byte-budget buffer planning), run
+through the banded wavefront kernel per bucket, and band-edge failures are
+retried at doubled band width (replacing the in-kernel widen-and-retry,
+myers_gpu.cu:56,988).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from genomeworks_tpu.aligner.banded_nw import (
+    band_offset,
+    banded_nw_forward,
+    traceback_host,
+)
+from genomeworks_tpu.aligner.types import Alignment, StatusType
+from genomeworks_tpu.core.bucketing import next_pow2
+from genomeworks_tpu.core.sequence import encode_bases, reverse_complement
+
+
+@dataclasses.dataclass
+class _Entry:
+    query: str
+    target: str
+
+
+class Aligner:
+    """Batched global (edit-distance) aligner with CIGAR output.
+
+    Mirrors the reference Aligner lifecycle (aligner.hpp:76):
+    ``add_alignment`` -> ``align_all`` -> ``get_alignments``; ``reset``
+    clears the batch.
+    """
+
+    def __init__(
+        self,
+        max_bandwidth: int = 1024,
+        max_query_length: int | None = None,
+        max_target_length: int | None = None,
+        max_alignments_per_launch: int = 512,
+    ):
+        if max_bandwidth % 2 == 0:
+            # reference FixedBandAligner requires odd-ish band handling;
+            # we only need band_width >= 2 but keep a friendly contract
+            max_bandwidth += 1
+        self.max_bandwidth = max_bandwidth
+        self.max_query_length = max_query_length
+        self.max_target_length = max_target_length
+        self.max_alignments_per_launch = max_alignments_per_launch
+        self._entries: list[_Entry] = []
+        self._results: list[Alignment | None] = []
+
+    # -- batch assembly ----------------------------------------------------
+    def add_alignment(
+        self,
+        query: str,
+        target: str,
+        reverse_complement_query: bool = False,
+        reverse_complement_target: bool = False,
+    ) -> StatusType:
+        """Queue one alignment (reference: aligner.hpp:90,
+        aligner_global.cpp add_alignment incl. optional revcomp)."""
+        if self.max_query_length is not None and len(query) > self.max_query_length:
+            return StatusType.exceeded_max_length
+        if self.max_target_length is not None and len(target) > self.max_target_length:
+            return StatusType.exceeded_max_length
+        if reverse_complement_query:
+            query = reverse_complement(query)
+        if reverse_complement_target:
+            target = reverse_complement(target)
+        self._entries.append(_Entry(query, target))
+        return StatusType.success
+
+    def reset(self) -> None:
+        self._entries = []
+        self._results = []
+
+    # -- execution ----------------------------------------------------------
+    def align_all(self) -> None:
+        """Align every queued pair; bucket by length, retry band-limited
+        alignments at doubled band width until optimal or full-width."""
+        n = len(self._entries)
+        self._results = [None] * n
+        pending = list(range(n))
+        band = None  # per-item initial bands assigned per bucket below
+
+        # initial pass + retries with doubled bands
+        todo = [(idx, self._initial_band(self._entries[idx])) for idx in pending]
+        while todo:
+            retry: list[tuple[int, int]] = []
+            # group by (bucket_q, bucket_t, band)
+            groups: dict[tuple[int, int, int], list[int]] = {}
+            band_of: dict[int, int] = {}
+            for idx, bw in todo:
+                e = self._entries[idx]
+                # one shared padded size for query and target keeps the set
+                # of compiled kernel shapes small
+                s = next_pow2(max(len(e.query), len(e.target), 1))
+                bw = next_pow2(min(bw, self._full_band(e)))
+                band_of[idx] = bw
+                groups.setdefault((s, s, bw), []).append(idx)
+            for (mq, mt, bw), idxs in groups.items():
+                for s in range(0, len(idxs), self.max_alignments_per_launch):
+                    chunk = idxs[s : s + self.max_alignments_per_launch]
+                    results = self._run_bucket(chunk, mq, mt, bw)
+                    for idx, aln in zip(chunk, results):
+                        full = bw >= self._full_band(self._entries[idx])
+                        if full:
+                            # band spans every diagonal: result is exact
+                            aln.is_optimal = True
+                        if aln.is_optimal or bw >= self.max_bandwidth:
+                            self._results[idx] = aln
+                        else:
+                            retry.append((idx, min(bw * 2, self.max_bandwidth)))
+            todo = retry
+
+    def get_alignments(self) -> list[Alignment]:
+        return [r for r in self._results if r is not None]
+
+    # -- internals ----------------------------------------------------------
+    def _initial_band(self, e: _Entry) -> int:
+        diff = abs(len(e.query) - len(e.target))
+        bw = max(64, next_pow2(diff + 1))
+        return min(bw, self.max_bandwidth, self._full_band(e))
+
+    @staticmethod
+    def _full_band(e: _Entry) -> int:
+        # band spanning every diagonal of the matrix => always optimal
+        return len(e.query) + len(e.target) + 1
+
+    def _run_bucket(self, idxs: list[int], mq: int, mt: int, bw: int) -> list[Alignment]:
+        B = len(idxs)
+        q = np.zeros((B, mq), dtype=np.uint8)
+        t = np.zeros((B, mt), dtype=np.uint8)
+        # padded base codes must never spuriously match: pad query with 1,
+        # target with 2 (padding cells are masked in the DP anyway)
+        q += 1
+        t += 2
+        qlen = np.zeros(B, dtype=np.int32)
+        tlen = np.zeros(B, dtype=np.int32)
+        for r, idx in enumerate(idxs):
+            e = self._entries[idx]
+            qc = encode_bases(e.query)
+            tc = encode_bases(e.target)
+            q[r, : len(qc)] = qc
+            t[r, : len(tc)] = tc
+            qlen[r] = len(qc)
+            tlen[r] = len(tc)
+
+        dist, codes, fits = banded_nw_forward(
+            jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), bw
+        )
+        dlo = np.asarray(band_offset(jnp.asarray(qlen), jnp.asarray(tlen), bw))
+        paths, edge = traceback_host(np.asarray(codes), qlen, tlen, dlo, bw)
+        fits = np.asarray(fits)
+
+        out = []
+        for r, idx in enumerate(idxs):
+            e = self._entries[idx]
+            optimal = bool(fits[r]) and not bool(edge[r])
+            out.append(
+                Alignment(
+                    query=e.query,
+                    target=e.target,
+                    states=paths[r],
+                    status=StatusType.success,
+                    is_optimal=optimal,
+                )
+            )
+        return out
+
+
+def create_aligner(max_bandwidth: int = 1024, **kwargs) -> Aligner:
+    """Factory (reference: aligner.hpp create_aligner -> banded Myers)."""
+    return Aligner(max_bandwidth=max_bandwidth, **kwargs)
