@@ -49,12 +49,14 @@ class Aligner:
         max_query_length: int | None = None,
         max_target_length: int | None = None,
         max_alignments_per_launch: int = 512,
+        use_pallas: bool | None = None,
     ):
-        if max_bandwidth % 2 == 0:
-            # reference FixedBandAligner requires odd-ish band handling;
-            # we only need band_width >= 2 but keep a friendly contract
-            max_bandwidth += 1
         self.max_bandwidth = max_bandwidth
+        if use_pallas is None:
+            import jax
+
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         self.max_query_length = max_query_length
         self.max_target_length = max_target_length
         self.max_alignments_per_launch = max_alignments_per_launch
@@ -108,6 +110,10 @@ class Aligner:
                 # of compiled kernel shapes small
                 s = next_pow2(max(len(e.query), len(e.target), 1))
                 bw = next_pow2(min(bw, self._full_band(e)))
+                if self.use_pallas:
+                    # Pallas kernel constraints: M % 128 == 0, W % 128 == 0
+                    s = max(s, 128)
+                    bw = max(bw, 128)
                 band_of[idx] = bw
                 groups.setdefault((s, s, bw), []).append(idx)
             for (mq, mt, bw), idxs in groups.items():
@@ -141,14 +147,16 @@ class Aligner:
 
     def _run_bucket(self, idxs: list[int], mq: int, mt: int, bw: int) -> list[Alignment]:
         B = len(idxs)
-        q = np.zeros((B, mq), dtype=np.uint8)
-        t = np.zeros((B, mt), dtype=np.uint8)
+        # the Pallas path wants the batch padded to a multiple of 8
+        B_pad = ((B + 7) // 8) * 8 if self.use_pallas else B
+        q = np.zeros((B_pad, mq), dtype=np.uint8)
+        t = np.zeros((B_pad, mt), dtype=np.uint8)
         # padded base codes must never spuriously match: pad query with 1,
         # target with 2 (padding cells are masked in the DP anyway)
         q += 1
         t += 2
-        qlen = np.zeros(B, dtype=np.int32)
-        tlen = np.zeros(B, dtype=np.int32)
+        qlen = np.zeros(B_pad, dtype=np.int32)
+        tlen = np.zeros(B_pad, dtype=np.int32)
         for r, idx in enumerate(idxs):
             e = self._entries[idx]
             qc = encode_bases(e.query)
@@ -158,11 +166,22 @@ class Aligner:
             qlen[r] = len(qc)
             tlen[r] = len(tc)
 
-        dist, codes, fits = banded_nw_forward(
-            jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), bw
-        )
         dlo = np.asarray(band_offset(jnp.asarray(qlen), jnp.asarray(tlen), bw))
-        paths, edge = traceback_host(np.asarray(codes), qlen, tlen, dlo, bw)
+        if self.use_pallas:
+            from genomeworks_tpu.ops.banded_nw_pallas import (
+                banded_nw_forward_pallas,
+                traceback_host_packed,
+            )
+
+            codes, fits = banded_nw_forward_pallas(
+                jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), bw
+            )
+            paths, edge = traceback_host_packed(np.asarray(codes), qlen, tlen, dlo, bw)
+        else:
+            dist, codes, fits = banded_nw_forward(
+                jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), bw
+            )
+            paths, edge = traceback_host(np.asarray(codes), qlen, tlen, dlo, bw)
         fits = np.asarray(fits)
 
         out = []

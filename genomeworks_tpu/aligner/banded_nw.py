@@ -77,11 +77,20 @@ def banded_nw_forward(
 
     k_end = tlen - qlen - dlo  # final cell's band coordinate
 
+    # Pre-shift targets into band coordinates ONCE (one gather), so each DP
+    # row reads a contiguous slice: ts[b, x] = t[b, x + dlo_b]. Per-row
+    # dynamic gathers scalarize on TPU; a batch-uniform dynamic_slice does
+    # not. Out-of-range entries are masked via the j-bounds below.
+    x_idx = jnp.arange(M + W, dtype=jnp.int32)
+    ts = jnp.take_along_axis(
+        t, jnp.clip(dlo[:, None] + x_idx[None, :], 0, N - 1), axis=1
+    )  # (B, M+W)
+
     def row_step(carry, i):
         prev, final = carry  # prev: (B, W) int32 scores of row i-1
         j = i + dlo[:, None] + k_idx[None, :]  # (B, W)
         qi = jax.lax.dynamic_slice_in_dim(q, i - 1, 1, axis=1)  # (B, 1)
-        tj = jnp.take_along_axis(t, jnp.clip(j - 1, 0, N - 1).astype(jnp.int32), axis=1)
+        tj = jax.lax.dynamic_slice_in_dim(ts, i - 1, W, axis=1)  # (B, W) = t[b, j-1]
         sub = (qi != tj).astype(jnp.int32)  # (B, W)
 
         diag = prev + sub
@@ -104,16 +113,21 @@ def banded_nw_forward(
         ).astype(jnp.int8)
 
         at_final = i == qlen  # (B,)
-        final_val = jnp.take_along_axis(
-            cur, jnp.clip(k_end, 0, W - 1)[:, None].astype(jnp.int32), axis=1
-        )[:, 0]
+        # one-hot masked reduction instead of a per-item gather (gathers
+        # scalarize on TPU; this is a pure VPU op)
+        final_val = jnp.sum(
+            jnp.where(k_idx[None, :] == k_end[:, None], cur, 0), axis=1
+        )
         final = jnp.where(at_final, final_val, final)
 
         return (cur, final), code
 
     init_final = jnp.where(qlen == 0, tlen, INF)  # qlen==0 -> distance = tlen
     (_, final), codes = jax.lax.scan(
-        row_step, (row0, init_final), jnp.arange(1, M + 1, dtype=jnp.int32)
+        row_step,
+        (row0, init_final),
+        jnp.arange(1, M + 1, dtype=jnp.int32),
+        unroll=8,
     )
     final = jnp.where(fits, final, INF)
     return final, codes, fits
