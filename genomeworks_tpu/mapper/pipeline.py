@@ -1,0 +1,196 @@
+"""End-to-end overlap mapping pipeline — re-design of the cudamapper tool
+(cudamapper/src/main.cu:536-622).
+
+The reference tiles the query x target index matrix into host/device-sized
+batches and processes them with one worker thread + two CUDA streams per
+GPU. Here JAX's async dispatch covers compute/copy overlap on one chip, and
+multi-chip scaling shards read batches (see genomeworks_tpu.parallel); this
+module provides the single-process pipeline: index chunking (by basepair
+budget, mirroring index_size MB), pair iteration with all-to-all symmetry
+skipping (main.cu:226-227), matching, chaining, host post-processing, and
+PAF emission.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+from genomeworks_tpu.io.fasta import FastaParser
+from genomeworks_tpu.io.paf import overlap_to_paf_line
+from genomeworks_tpu.mapper.index import Index, build_index
+from genomeworks_tpu.mapper.matcher import generate_anchors
+from genomeworks_tpu.mapper.overlapper import (
+    Overlap,
+    get_overlaps,
+    post_process_overlaps,
+)
+
+
+@dataclasses.dataclass
+class MapperParams:
+    """reference: cudamapper ApplicationParameters defaults
+    (application_parameters.hpp:47-71)."""
+
+    kmer_size: int = 15
+    window_size: int = 10
+    index_size_mb: int = 30
+    target_index_size_mb: int = 30
+    #: None = automatic (reference set_filtering_parameter,
+    #: application_parameters.cpp:225-250: 1e-5, but disabled entirely when
+    #: query+target hold under 0.5 Mbp); a float = user-specified.
+    filtering_parameter: float | None = None
+    min_residues: int = 3
+    min_overlap_len: int = 250
+    min_bases_per_residue: int = 1000
+    min_overlap_fraction: float = 0.8
+    drop_fused_overlaps: bool = False
+    alignment_band_width: int = 0  # >0 enables CIGAR alignment of overlaps
+    hash_representations: bool = True
+
+
+def group_reads_into_index_ranges(
+    parser: FastaParser, basepairs_per_index: int
+) -> list[tuple[int, int]]:
+    """Split reads into [first, past_last) ranges holding roughly
+    basepairs_per_index bases (reference: group_reads_into_indices,
+    cudamapper utils.hpp:91)."""
+    ranges = []
+    first = 0
+    acc = 0
+    n = len(parser)
+    for rid in range(n):
+        acc += len(parser.get_sequence_by_id(rid).seq)
+        if acc >= basepairs_per_index:
+            ranges.append((first, rid + 1))
+            first = rid + 1
+            acc = 0
+    if first < n:
+        ranges.append((first, n))
+    return ranges
+
+
+def map_reads(
+    query_parser: FastaParser,
+    target_parser: FastaParser,
+    params: MapperParams | None = None,
+    all_to_all: bool | None = None,
+) -> list[Overlap]:
+    """Run the full overlap pipeline; returns post-processed overlaps."""
+    params = params or MapperParams()
+    if all_to_all is None:
+        all_to_all = query_parser is target_parser
+
+    filtering = params.filtering_parameter
+    if filtering is None:
+        # automatic filtering (application_parameters.cpp:225-250): 1e-5,
+        # unless the inputs hold under 0.5 Mbp of sequence
+        total = 0
+        for p in (query_parser, target_parser):
+            for s in p.sequences():
+                total += len(s.seq)
+                if total >= 500_000:
+                    break
+            if total >= 500_000:
+                break
+        filtering = 1e-5 if total >= 500_000 else 1.0
+
+    q_ranges = group_reads_into_index_ranges(query_parser, params.index_size_mb * 1_000_000)
+    t_ranges = group_reads_into_index_ranges(
+        target_parser, params.target_index_size_mb * 1_000_000
+    )
+
+    def make_index(parser, rng):
+        return build_index(
+            parser,
+            rng[0],
+            rng[1],
+            kmer_size=params.kmer_size,
+            window_size=params.window_size,
+            hash_representations=params.hash_representations,
+            filtering_parameter=filtering,
+        )
+
+    # index cache (reference: HostIndexCache/DeviceIndexCache)
+    q_cache: dict[tuple[int, int], Index] = {}
+    t_cache: dict[tuple[int, int], Index] = {}
+
+    overlaps_all: list[Overlap] = []
+    for q_rng in q_ranges:
+        for t_rng in t_ranges:
+            # all-to-all symmetry skip (main.cu:226-227)
+            if all_to_all and t_rng[0] < q_rng[0]:
+                continue
+            if q_rng not in q_cache:
+                q_cache[q_rng] = make_index(query_parser, q_rng)
+            if all_to_all and q_rng == t_rng:
+                t_index = q_cache[q_rng]
+            else:
+                if t_rng not in t_cache:
+                    t_cache[t_rng] = make_index(target_parser, t_rng)
+                t_index = t_cache[t_rng]
+            q_index = q_cache[q_rng]
+
+            anchors = generate_anchors(q_index, t_index)
+            overlaps = get_overlaps(
+                anchors,
+                all_to_all,
+                params.min_residues,
+                params.min_overlap_len,
+                params.min_bases_per_residue,
+                params.min_overlap_fraction,
+            )
+            overlaps = post_process_overlaps(overlaps, params.drop_fused_overlaps)
+            overlaps_all.extend(overlaps)
+    return overlaps_all
+
+
+def align_overlaps(
+    overlaps: list[Overlap],
+    query_parser: FastaParser,
+    target_parser: FastaParser,
+    max_bandwidth: int = 512,
+) -> list[str]:
+    """Compute CIGARs for overlaps (reference: main.cu:54-188
+    align_overlaps/run_alignment_batch: query slice vs target slice,
+    target reverse-complemented for '-' overlaps)."""
+    from genomeworks_tpu.aligner import create_aligner
+
+    aligner = create_aligner(max_bandwidth=max_bandwidth)
+    for o in overlaps:
+        q = query_parser.get_sequence_by_id(o.query_read_id).seq[
+            o.query_start_position_in_read : o.query_end_position_in_read
+        ]
+        t = target_parser.get_sequence_by_id(o.target_read_id).seq[
+            o.target_start_position_in_read : o.target_end_position_in_read
+        ]
+        aligner.add_alignment(q, t, reverse_complement_target=o.relative_strand == "-")
+    aligner.align_all()
+    return [a.convert_to_cigar() for a in aligner.get_alignments()]
+
+
+def overlaps_to_paf(
+    overlaps: list[Overlap],
+    query_parser: FastaParser,
+    target_parser: FastaParser,
+    kmer_size: int,
+    cigars: list[str] | None = None,
+) -> Iterator[str]:
+    """Format overlaps as PAF lines (reference: print_paf, utils.cpp:41)."""
+    for i, o in enumerate(overlaps):
+        q = query_parser.get_sequence_by_id(o.query_read_id)
+        t = target_parser.get_sequence_by_id(o.target_read_id)
+        yield overlap_to_paf_line(
+            q.name,
+            len(q.seq),
+            o.query_start_position_in_read,
+            o.query_end_position_in_read,
+            o.relative_strand,
+            t.name,
+            len(t.seq),
+            o.target_start_position_in_read,
+            o.target_end_position_in_read,
+            o.num_residues,
+            kmer_size,
+            cigars[i] if cigars else None,
+        )

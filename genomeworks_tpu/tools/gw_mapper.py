@@ -1,0 +1,59 @@
+"""CLI: all-vs-all / query-vs-target overlapper producing PAF.
+
+reference: the `cudamapper` tool (cudamapper/src/main.cu).
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="gw-mapper", description="minimizer-based read overlapper (PAF output)"
+    )
+    p.add_argument("query", help="query FASTA/FASTQ(.gz)")
+    p.add_argument("target", nargs="?", help="target FASTA (defaults to query: all-to-all)")
+    p.add_argument("-k", "--kmer-size", type=int, default=15)
+    p.add_argument("-w", "--window-size", type=int, default=10)
+    p.add_argument("-i", "--index-size", type=int, default=30, help="MB of bases per index")
+    p.add_argument("-F", "--filtering-parameter", type=float, default=1e-5)
+    p.add_argument("-r", "--min-residues", type=int, default=3)
+    p.add_argument("-l", "--min-overlap-len", type=int, default=250)
+    p.add_argument("-b", "--min-bases-per-residue", type=int, default=1000)
+    p.add_argument("-z", "--min-overlap-fraction", type=float, default=0.8)
+    p.add_argument("-D", "--drop-fused-overlaps", action="store_true")
+    p.add_argument("-a", "--align", action="store_true", help="emit cg:Z CIGARs")
+    args = p.parse_args(argv)
+
+    from genomeworks_tpu.io import create_fasta_parser
+    from genomeworks_tpu.mapper import MapperParams, map_reads, overlaps_to_paf, align_overlaps
+
+    min_len = args.kmer_size + args.window_size - 1
+    query_parser = create_fasta_parser(args.query, min_sequence_length=min_len)
+    if args.target and args.target != args.query:
+        target_parser = create_fasta_parser(args.target, min_sequence_length=min_len)
+        all_to_all = False
+    else:
+        target_parser = query_parser
+        all_to_all = True
+
+    params = MapperParams(
+        kmer_size=args.kmer_size,
+        window_size=args.window_size,
+        index_size_mb=args.index_size,
+        target_index_size_mb=args.index_size,
+        filtering_parameter=args.filtering_parameter,
+        min_residues=args.min_residues,
+        min_overlap_len=args.min_overlap_len,
+        min_bases_per_residue=args.min_bases_per_residue,
+        min_overlap_fraction=args.min_overlap_fraction,
+        drop_fused_overlaps=args.drop_fused_overlaps,
+    )
+    overlaps = map_reads(query_parser, target_parser, params, all_to_all)
+    cigars = align_overlaps(overlaps, query_parser, target_parser) if args.align else None
+    for line in overlaps_to_paf(overlaps, query_parser, target_parser, args.kmer_size, cigars):
+        sys.stdout.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
