@@ -1,0 +1,802 @@
+"""Batched TPU partial-order alignment (JAX) — the flagship compute path.
+
+A windows-batched, fixed-shape re-design of cudapoa's generatePOAKernel
+(cudapoa/src/cudapoa_kernels.cuh): where the reference assigns one warp per
+window and leans on per-warp divergence, this implementation advances a
+whole BATCH of windows in lockstep through the same phases —
+
+  backbone -> [ NW align -> add-alignment walk -> topological sort ]*  ->
+  consensus
+
+with every phase expressed as fixed-shape ``lax`` control flow, vectorized
+over the batch dimension:
+
+- the sequence-vs-graph NW (cudapoa_nw.cuh) runs as a ``fori_loop`` over
+  topologically sorted graph rows; per row, predecessor score rows are
+  gathered, diagonal/vertical candidates reduced, and the in-row horizontal
+  closure solved as a prefix max (``cummax(base - j*gap) + j*gap``) — a
+  single VPU pass instead of the reference's shfl-up correction loop;
+- traceback moves are recorded per cell as a PRIORITY CODE
+  (diag-pred-e < vert-pred-e < horizontal, matching the reference's
+  re-derivation order, cudapoa_nw.cuh:340-430) in a second predecessor
+  pass; the traceback itself is then a pure pointer walk;
+- the add-alignment walk (cudapoa_add_alignment.cuh) and topological sort
+  (cudapoa_topsort.cuh:46) are ``scan``s whose per-step work is (B, E)- and
+  (B, A)-shaped vector ops with masked flat scatters;
+- consensus (cudapoa_generate_consensus.cuh) runs the heaviest-edge
+  predecessor pass in topological order, the branch-completion loop, and
+  backward emission, with the reference's exact tie-breaking.
+
+Semantics are bit-equal to genomeworks_tpu.poa.cpu_reference (tested), which
+in turn mirrors the reference CUDA code path for full_band mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomeworks_tpu.poa.cpu_reference import MAX_NODE_EDGES, MAX_NODE_ALIGNMENTS
+
+NEG = np.int32(-(1 << 30))
+
+
+def init_graph_state(B: int, N: int, E: int = MAX_NODE_EDGES, A: int = MAX_NODE_ALIGNMENTS):
+    z = lambda *s: jnp.zeros(s, jnp.int32)
+    return {
+        "nodes": z(B, N),
+        "in_edges": z(B, N, E),
+        "in_count": z(B, N),
+        "in_w": z(B, N, E),
+        "out_edges": z(B, N, E),
+        "out_count": z(B, N),
+        "al": z(B, N, A),
+        "al_count": z(B, N),
+        "cov": z(B, N),
+        "sorted": z(B, N),
+        "pos_of": z(B, N),
+        "node_count": z(B),
+        "error": z(B),
+    }
+
+
+# ---------------------------------------------------------------------------
+# backbone (cudapoa_kernels.cuh:200-238)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def build_backbone_batched(state, seq, seq_len, weights, active):
+    """seq (B, L) i32 base chars, seq_len (B,), weights (B, L), active (B,)."""
+    B, N = state["nodes"].shape
+    L = seq.shape[1]
+    n_idx = jnp.arange(N)
+    in_range = n_idx[None, :] < seq_len[:, None]  # (B, N) valid backbone nodes
+    act = active[:, None]
+    upd = act & in_range
+
+    padseq = jnp.zeros((B, N), jnp.int32).at[:, :L].set(seq)
+    padw = jnp.zeros((B, N), jnp.int32).at[:, :L].set(weights)
+
+    st = dict(state)
+    st["nodes"] = jnp.where(upd, padseq, state["nodes"])
+    st["sorted"] = jnp.where(upd, n_idx[None, :], state["sorted"])
+    st["pos_of"] = jnp.where(upd, n_idx[None, :], state["pos_of"])
+    st["in_count"] = jnp.where(upd, jnp.where(n_idx[None, :] == 0, 0, 1), state["in_count"])
+    st["out_count"] = jnp.where(
+        upd, jnp.where(n_idx[None, :] == seq_len[:, None] - 1, 0, 1), state["out_count"]
+    )
+    st["al_count"] = jnp.where(upd, 0, state["al_count"])
+    st["cov"] = jnp.where(upd, 1, state["cov"])
+
+    in_e0 = jnp.where(upd, n_idx[None, :] - 1, state["in_edges"][:, :, 0])
+    st["in_edges"] = state["in_edges"].at[:, :, 0].set(in_e0)
+    out_e0 = jnp.where(upd, n_idx[None, :] + 1, state["out_edges"][:, :, 0])
+    st["out_edges"] = state["out_edges"].at[:, :, 0].set(out_e0)
+
+    prev_w = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), padw[:, :-1]], axis=1)
+    w0 = jnp.where(n_idx[None, :] == 0, padw, prev_w + padw)
+    in_w0 = jnp.where(upd, w0, state["in_w"][:, :, 0])
+    st["in_w"] = state["in_w"].at[:, :, 0].set(in_w0)
+
+    st["node_count"] = jnp.where(active, seq_len, state["node_count"])
+    return st
+
+
+# ---------------------------------------------------------------------------
+# topological sort (cudapoa_topsort.cuh:46 topologicalSortDeviceUtil)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def topsort_batched(state, active):
+    B, N = state["in_count"].shape
+    E = state["out_edges"].shape[2]
+    n_idx = jnp.arange(N)[None, :]
+    in_graph = n_idx < state["node_count"][:, None]
+
+    local = jnp.where(in_graph, state["in_count"], 1 << 20)
+    is_seed = local == 0
+    seed_rank = jnp.cumsum(is_seed.astype(jnp.int32), axis=1) - 1
+    tail0 = jnp.sum(is_seed.astype(jnp.int32), axis=1)
+
+    big = B * N  # drop sentinel for flat scatters
+    b_idx = jnp.arange(B)[:, None]
+    flat_rank = jnp.where(is_seed, b_idx * N + seed_rank, big)
+    sorted0 = (
+        jnp.full((B * N,), -1, jnp.int32)
+        .at[flat_rank.reshape(-1)]
+        .set(jnp.broadcast_to(jnp.arange(N)[None, :], (B, N)).reshape(-1), mode="drop")
+        .reshape(B, N)
+    )
+    pos0 = jnp.where(is_seed, seed_rank, -1)
+
+    e_idx = jnp.arange(E)[None, :]
+
+    def step2(carry, i):
+        sorted_poa, pos_of, local, tail = carry
+        node = jnp.take_along_axis(sorted_poa, jnp.broadcast_to(i, (B, 1)), axis=1)[:, 0]
+        valid = active & (i < tail) & (node >= 0)
+        node_c = jnp.clip(node, 0, N - 1)
+        outs = jnp.take_along_axis(state["out_edges"], node_c[:, None, None], axis=1)[:, 0, :]
+        oc = jnp.take_along_axis(state["out_count"], node_c[:, None], axis=1)[:, 0]
+        emask = valid[:, None] & (e_idx < oc[:, None])
+        outs_c = jnp.clip(outs, 0, N - 1)
+        flat = jnp.where(emask, jnp.arange(B)[:, None] * N + outs_c, big)
+        local = local.reshape(-1).at[flat.reshape(-1)].add(-1, mode="drop").reshape(B, N)
+        newly = emask & (jnp.take_along_axis(local, outs_c, axis=1) == 0)
+        rank = tail[:, None] + jnp.cumsum(newly.astype(jnp.int32), axis=1) - 1
+        flat_r = jnp.where(newly, jnp.arange(B)[:, None] * N + rank, big)
+        sorted_poa = (
+            sorted_poa.reshape(-1)
+            .at[flat_r.reshape(-1)]
+            .set(outs_c.reshape(-1), mode="drop")
+            .reshape(B, N)
+        )
+        flat_p = jnp.where(newly, jnp.arange(B)[:, None] * N + outs_c, big)
+        pos_of = (
+            pos_of.reshape(-1)
+            .at[flat_p.reshape(-1)]
+            .set(rank.reshape(-1), mode="drop")
+            .reshape(B, N)
+        )
+        tail = tail + jnp.sum(newly.astype(jnp.int32), axis=1)
+        return (sorted_poa, pos_of, local, tail), None
+
+    (sorted_poa, pos_of, _, tail), _ = jax.lax.scan(
+        step2, (sorted0, pos0, local, tail0), jnp.arange(N, dtype=jnp.int32)
+    )
+    st = dict(state)
+    st["sorted"] = jnp.where(active[:, None], sorted_poa, state["sorted"])
+    st["pos_of"] = jnp.where(active[:, None], pos_of, state["pos_of"])
+    # a non-DAG (tail != node_count) would be a bug; record as error 100
+    st["error"] = jnp.where(
+        active & (tail != state["node_count"]), 100, state["error"]
+    )
+    return st
+
+
+# ---------------------------------------------------------------------------
+# sequence-vs-graph NW, full band (cudapoa_nw.cuh)
+# ---------------------------------------------------------------------------
+
+
+def _gather_rows(mat, idx):
+    """mat (B, R, C), idx (B,) -> (B, C)."""
+    return jnp.take_along_axis(mat, idx[:, None, None], axis=1)[:, 0, :]
+
+
+def _gather_bn(arr, idx):
+    """arr (B, N), idx (B,) -> (B,)."""
+    return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+
+
+def _gather_bne(arr, idx):
+    """arr (B, N, E), idx (B,) -> (B, E)."""
+    return jnp.take_along_axis(arr, idx[:, None, None], axis=1)[:, 0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("gap", "mismatch", "match"))
+def nw_batched(state, read, read_len, scores_buf, codes_buf, active,
+               gap: int, mismatch: int, match: int):
+    """Full-band NW of `read` (B, L) vs the current graphs.
+
+    Returns (alignment_graph (B, K), alignment_read (B, K), aln_len (B,),
+    scores_buf, codes_buf) with K = N + L; alignment entries are stored in
+    BACKWARD order (index 0 = last move), exactly like the reference device
+    buffers consumed by addAlignmentToGraph.
+    """
+    B, N = state["nodes"].shape
+    E = state["in_edges"].shape[2]
+    L = read.shape[1]
+    HORIZ = 2 * E
+    BIGP = 3 * E + 1
+
+    slope = gap * jnp.arange(L + 1, dtype=jnp.int32)
+
+    # row 0 boundary: scores[0][j] = j*gap (cudapoa_nw.cuh:185)
+    scores_buf = scores_buf.at[:, 0, :].set(jnp.broadcast_to(slope, (B, L + 1)))
+
+    max_nc = jnp.max(jnp.where(active, state["node_count"], 0))
+
+    def row_body(gp, bufs):
+        scores_buf, codes_buf = bufs
+        nid = jnp.clip(_gather_bn(state["sorted"], jnp.broadcast_to(gp, (B,))), 0, N - 1)
+        pc = _gather_bn(state["in_count"], nid)
+        gbase = _gather_bn(state["nodes"], nid)
+        preds = _gather_bne(state["in_edges"], nid)  # (B, E)
+        sub = jnp.where(read == gbase[:, None], match, mismatch).astype(jnp.int32)
+
+        max_pc = jnp.maximum(jnp.max(pc), 1)
+
+        def e_body(e, carry):
+            base, col0 = carry
+            pred = jnp.clip(preds[:, e], 0, N - 1)
+            ppos = jnp.where(pc == 0, 0, _gather_bn(state["pos_of"], pred) + 1)
+            use = (e == 0) | (e < pc)
+            ppos = jnp.where(use, jnp.clip(ppos, 0, N), 0)
+            prow = _gather_rows(scores_buf, ppos)  # (B, L+1)
+            cand = jnp.maximum(prow[:, :-1] + sub, prow[:, 1:] + gap)
+            base = jnp.where(use[:, None], jnp.maximum(base, cand), base)
+            col0 = jnp.where(use, jnp.maximum(col0, prow[:, 0] + gap), col0)
+            return base, col0
+
+        base0 = jnp.full((B, L), NEG, jnp.int32)
+        col00 = jnp.full((B,), NEG, jnp.int32)
+        base, col0 = jax.lax.fori_loop(0, max_pc, e_body, (base0, col00))
+
+        # horizontal closure (prefix max with slope gap)
+        row = jnp.concatenate([col0[:, None], base], axis=1)
+        row = jax.lax.cummax(row - slope[None, :], axis=1) + slope[None, :]
+
+        # pass 2: record priority codes against the final row values
+        def e_body2(e, carry):
+            best, col0_best = carry
+            pred = jnp.clip(preds[:, e], 0, N - 1)
+            ppos = jnp.where(pc == 0, 0, _gather_bn(state["pos_of"], pred) + 1)
+            use = (e == 0) | (e < pc)
+            ppos = jnp.where(use, jnp.clip(ppos, 0, N), 0)
+            prow = _gather_rows(scores_buf, ppos)
+            diag_eq = row[:, 1:] == prow[:, :-1] + sub
+            vert_eq = row[:, 1:] == prow[:, 1:] + gap
+            cand = jnp.where(diag_eq, e, jnp.where(vert_eq, E + e, BIGP))
+            cand = jnp.where(use[:, None], cand, BIGP)
+            best = jnp.minimum(best, cand)
+            c0 = jnp.where(use & (prow[:, 0] + gap == row[:, 0]), E + e, BIGP)
+            col0_best = jnp.minimum(col0_best, c0)
+            return best, col0_best
+
+        horiz_eq = row[:, 1:] == row[:, :-1] + gap
+        best0 = jnp.where(horiz_eq, HORIZ, BIGP)
+        best, col0_best = jax.lax.fori_loop(0, max_pc, e_body2, (best0, jnp.full((B,), BIGP, jnp.int32)))
+        code_row = jnp.concatenate([col0_best[:, None], jnp.minimum(best, jnp.where(horiz_eq, HORIZ, BIGP))], axis=1)
+
+        scores_buf = jax.lax.dynamic_update_slice(
+            scores_buf, row[:, None, :].astype(scores_buf.dtype), (0, gp + 1, 0)
+        )
+        codes_buf = jax.lax.dynamic_update_slice(
+            codes_buf, code_row[:, None, :].astype(codes_buf.dtype), (0, gp + 1, 0)
+        )
+        return scores_buf, codes_buf
+
+    scores_buf, codes_buf = jax.lax.fori_loop(0, max_nc, row_body, (scores_buf, codes_buf))
+
+    # traceback start: first max at column read_len among sink rows
+    col_at_L = jnp.take_along_axis(scores_buf, read_len[:, None, None], axis=2)[:, :, 0]
+    sorted_oc = jnp.take_along_axis(
+        state["out_count"], jnp.clip(state["sorted"], 0, N - 1), axis=1
+    )  # (B, N) out_count in sorted order
+    row_idx = jnp.arange(1, N + 1)[None, :]
+    sink = (sorted_oc == 0) & (row_idx <= state["node_count"][:, None])
+    masked = jnp.where(sink, col_at_L[:, 1:], NEG)
+    best_i = jnp.argmax(masked, axis=1).astype(jnp.int32) + 1
+
+    # traceback walk
+    K = N + L
+    ag = jnp.full((B, K), -1, jnp.int32)
+    ar = jnp.full((B, K), -1, jnp.int32)
+    b_idx = jnp.arange(B)
+    bigflat = B * K
+
+    def tb_cond(carry):
+        i, j, k, ag, ar, steps = carry
+        return jnp.any(active & ((i != 0) | (j != 0))) & (steps < K + 2)
+
+    def tb_body(carry):
+        i, j, k, ag, ar, steps = carry
+        act = active & ((i != 0) | (j != 0))
+        flat_ij = jnp.clip(i, 0, N) * (L + 1) + jnp.clip(j, 0, L)
+        code = jnp.take_along_axis(
+            codes_buf.reshape(B, -1), flat_ij[:, None], axis=1
+        )[:, 0]
+        code = jnp.where(i == 0, HORIZ, code)
+        is_horiz = code == HORIZ
+        is_diag = code < E
+        e = jnp.where(is_horiz, 0, code % E)
+        nid = jnp.clip(
+            _gather_bn(state["sorted"], jnp.clip(i - 1, 0, N - 1)), 0, N - 1
+        )
+        pc = _gather_bn(state["in_count"], nid)
+        pred = jnp.clip(
+            jnp.take_along_axis(
+                _gather_bne(state["in_edges"], nid), e[:, None], axis=1
+            )[:, 0],
+            0,
+            N - 1,
+        )
+        pi = jnp.where(pc == 0, 0, _gather_bn(state["pos_of"], pred) + 1)
+        prev_i = jnp.where(is_horiz, i, pi)
+        prev_j = jnp.where(is_horiz | is_diag, j - 1, j)
+
+        ag_val = jnp.where(prev_i == i, -1, nid)
+        ar_val = jnp.where(prev_j == j, -1, j - 1)
+        flat_k = jnp.where(act, b_idx * K + k, bigflat)
+        ag = ag.reshape(-1).at[flat_k].set(ag_val, mode="drop").reshape(B, K)
+        ar = ar.reshape(-1).at[flat_k].set(ar_val, mode="drop").reshape(B, K)
+        i = jnp.where(act, prev_i, i)
+        j = jnp.where(act, prev_j, j)
+        k = k + act.astype(jnp.int32)
+        return i, j, k, ag, ar, steps + 1
+
+    i0 = jnp.where(active, best_i, 0)
+    j0 = jnp.where(active, read_len, 0)
+    i, j, k, ag, ar, steps = jax.lax.while_loop(
+        tb_cond, tb_body, (i0, j0, jnp.zeros(B, jnp.int32), ag, ar, jnp.int32(0))
+    )
+    failed = active & ((i != 0) | (j != 0))
+    return ag, ar, k, failed, scores_buf, codes_buf
+
+
+# ---------------------------------------------------------------------------
+# add alignment to graph (cudapoa_add_alignment.cuh addAlignmentToGraph)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def add_alignment_batched(state, ag, ar, aln_len, read, weights, active):
+    """Walk the alignment (backward buffers -> forward order) updating the
+    graphs. read/weights (B, L); ag/ar (B, K); aln_len (B,)."""
+    B, N = state["nodes"].shape
+    E = state["in_edges"].shape[2]
+    A = state["al"].shape[2]
+    L = read.shape[1]
+    K = ag.shape[1]
+    b_idx = jnp.arange(B)
+    bigN = B * N
+    bigNE = B * N * E
+    bigNA = B * N * A
+    e_idx = jnp.arange(E)[None, :]
+    a_idx = jnp.arange(A)[None, :]
+
+    max_len = jnp.max(jnp.where(active, aln_len, 0))
+
+    def step(carry, t):
+        st, head, prev_w = carry
+        pos = jnp.clip(aln_len - 1 - t, 0, K - 1)
+        act_t = active & (t < aln_len) & (st["error"] == 0)
+        read_pos = _gather_bn(ar, pos)  # ar has width K; helper works for (B, K)
+        gid = _gather_bn(ag, pos)
+        act = act_t & (read_pos != -1)
+        rp = jnp.clip(read_pos, 0, L - 1)
+        w = _gather_bn(weights, rp)
+        base = _gather_bn(read, rp)
+
+        gid_c = jnp.clip(gid, 0, N - 1)
+        gbase = _gather_bn(st["nodes"], gid_c)
+        # aligned-node search
+        al_list = _gather_bne(st["al"], gid_c)  # (B, A)
+        na = _gather_bn(st["al_count"], gid_c)
+        al_bases = jnp.take_along_axis(
+            st["nodes"], jnp.clip(al_list, 0, N - 1), axis=1
+        )  # (B, A)
+        match_mask = (a_idx < na[:, None]) & (al_bases == base[:, None])
+        has_aligned = jnp.any(match_mask, axis=1)
+        first_aligned = jnp.take_along_axis(
+            al_list, jnp.argmax(match_mask, axis=1)[:, None], axis=1
+        )[:, 0]
+
+        reuse_graph = (gid != -1) & (gbase == base)
+        reuse_aligned = (gid != -1) & (gbase != base) & has_aligned
+        new_node = act & ~reuse_graph & ~reuse_aligned
+        new_aligned = new_node & (gid != -1)  # new node aligned to gid
+
+        cur = jnp.where(
+            reuse_graph, gid_c, jnp.where(reuse_aligned, first_aligned, st["node_count"])
+        )
+        cur = jnp.clip(cur, 0, N - 1)
+
+        node_count = st["node_count"] + new_node.astype(jnp.int32)
+        err = jnp.where(
+            act & (node_count >= N) & new_node, 1, st["error"]
+        )  # node_count_exceeded
+
+        # init new node
+        flat_cur = jnp.where(new_node, b_idx * N + cur, bigN)
+        nodes = st["nodes"].reshape(-1).at[flat_cur].set(base, mode="drop").reshape(B, N)
+        zero = jnp.zeros((B,), jnp.int32)
+        out_count = st["out_count"].reshape(-1).at[flat_cur].set(zero, mode="drop").reshape(B, N)
+        in_count = st["in_count"].reshape(-1).at[flat_cur].set(zero, mode="drop").reshape(B, N)
+        al_count = st["al_count"].reshape(-1).at[flat_cur].set(zero, mode="drop").reshape(B, N)
+        cov = st["cov"].reshape(-1).at[flat_cur].set(zero, mode="drop").reshape(B, N)
+
+        # alignment-list updates for new aligned nodes
+        amask = new_aligned[:, None] & (a_idx < na[:, None])  # (B, A) existing aligned
+        aid_c = jnp.clip(al_list, 0, N - 1)
+        aid_counts = jnp.take_along_axis(al_count, aid_c, axis=1)  # (B, A)
+        flat_app = jnp.where(amask, (b_idx[:, None] * N + aid_c) * A + aid_counts, bigNA)
+        al = (
+            st["al"].reshape(-1)
+            .at[flat_app.reshape(-1)]
+            .set(jnp.broadcast_to(cur[:, None], (B, A)).reshape(-1), mode="drop")
+            .reshape(B, N, A)
+        )
+        al_count = (
+            al_count.reshape(-1)
+            .at[jnp.where(amask, b_idx[:, None] * N + aid_c, bigN).reshape(-1)]
+            .add(1, mode="drop")
+            .reshape(B, N)
+        )
+        # cur's own list: [al_list[0:na], gid]
+        flat_own = jnp.where(amask, (b_idx[:, None] * N + cur[:, None]) * A + a_idx, bigNA)
+        al = al.reshape(-1).at[flat_own.reshape(-1)].set(al_list.reshape(-1), mode="drop").reshape(B, N, A)
+        flat_gid_app = jnp.where(new_aligned, (b_idx * N + gid_c) * A + na, bigNA)
+        al = al.reshape(-1).at[flat_gid_app].set(cur, mode="drop").reshape(B, N, A)
+        al_count = al_count.reshape(-1).at[jnp.where(new_aligned, b_idx * N + gid_c, bigN)].set(na + 1, mode="drop").reshape(B, N)
+        flat_cur_app = jnp.where(new_aligned, (b_idx * N + cur) * A + na, bigNA)
+        al = al.reshape(-1).at[flat_cur_app].set(gid_c, mode="drop").reshape(B, N, A)
+        al_count = al_count.reshape(-1).at[jnp.where(new_aligned, b_idx * N + cur, bigN)].set(na + 1, mode="drop").reshape(B, N)
+        err = jnp.where(act & new_aligned & (na + 1 > A - 1), 2, err)
+
+        # edge insertion/update
+        has_head = act & (head != -1)
+        head_c = jnp.clip(head, 0, N - 1)
+        in_list = _gather_bne(st["in_edges"], cur)  # (B, E)
+        ic = jnp.take_along_axis(in_count, cur[:, None], axis=1)[:, 0]
+        exist_mask = has_head[:, None] & (e_idx < ic[:, None]) & (in_list == head[:, None])
+        exists = jnp.any(exist_mask, axis=1)
+        # weight bump on every matching slot (reference adds in the scan loop)
+        flat_w = jnp.where(exist_mask, (b_idx[:, None] * N + cur[:, None]) * E + e_idx, bigNE)
+        in_w = (
+            st["in_w"].reshape(-1)
+            .at[flat_w.reshape(-1)]
+            .add(jnp.broadcast_to((prev_w + w)[:, None], (B, E)).reshape(-1), mode="drop")
+            .reshape(B, N, E)
+        )
+        # append new edge
+        app = has_head & ~exists
+        flat_ie = jnp.where(app, (b_idx * N + cur) * E + ic, bigNE)
+        in_edges = st["in_edges"].reshape(-1).at[flat_ie].set(head_c, mode="drop").reshape(B, N, E)
+        in_w = in_w.reshape(-1).at[flat_ie].set(prev_w + w, mode="drop").reshape(B, N, E)
+        in_count = in_count.reshape(-1).at[jnp.where(app, b_idx * N + cur, bigN)].add(1, mode="drop").reshape(B, N)
+        oc = jnp.take_along_axis(out_count, head_c[:, None], axis=1)[:, 0]
+        flat_oe = jnp.where(app, (b_idx * N + head_c) * E + oc, bigNE)
+        out_edges = st["out_edges"].reshape(-1).at[flat_oe].set(cur, mode="drop").reshape(B, N, E)
+        out_count = out_count.reshape(-1).at[jnp.where(app, b_idx * N + head_c, bigN)].add(1, mode="drop").reshape(B, N)
+        err = jnp.where(app & ((oc + 1 >= E) | (ic + 1 >= E)), 2, err)
+
+        # coverage
+        cov = cov.reshape(-1).at[jnp.where(act, b_idx * N + cur, bigN)].add(1, mode="drop").reshape(B, N)
+
+        st = dict(st)
+        st["nodes"] = nodes
+        st["in_edges"] = in_edges
+        st["in_count"] = in_count
+        st["in_w"] = in_w
+        st["out_edges"] = out_edges
+        st["out_count"] = out_count
+        st["al"] = al
+        st["al_count"] = al_count
+        st["cov"] = cov
+        st["node_count"] = jnp.where(act, node_count, st["node_count"])
+        st["error"] = err
+
+        head = jnp.where(act, cur, head)
+        prev_w = jnp.where(act, w, prev_w)
+        return (st, head, prev_w), None
+
+    head0 = jnp.full((B,), -1, jnp.int32)
+    prev_w0 = jnp.zeros((B,), jnp.int32)
+
+    def cond(carry_t):
+        (st, head, prev_w), t = carry_t
+        return t < max_len
+
+    def body(carry_t):
+        carry, t = carry_t
+        carry, _ = step(carry, t)
+        return carry, t + 1
+
+    (st, _, _), _ = jax.lax.while_loop(
+        cond, body, ((dict(state), head0, prev_w0), jnp.int32(0))
+    )
+    return st
+
+
+# ---------------------------------------------------------------------------
+# consensus (cudapoa_generate_consensus.cuh)
+# ---------------------------------------------------------------------------
+
+
+def _consensus_row_update(st, scores, preds, nid, row_act, skip_cleared):
+    """One row of the heaviest-edge predecessor pass, reference tie-breaks
+    (generateConsensus / branchCompletion inner loop). Returns (s, pred)."""
+    B, N = st["nodes"].shape
+    E = st["in_edges"].shape[2]
+    nid_c = jnp.clip(nid, 0, N - 1)
+    pc = _gather_bn(st["in_count"], nid_c)
+    edges = _gather_bne(st["in_edges"], nid_c)  # (B, E)
+    ws = _gather_bne(st["in_w"], nid_c)
+
+    if skip_cleared:
+        s0 = jnp.full((B,), -1, jnp.int32)
+        p0 = jnp.full((B,), -1, jnp.int32)
+    else:
+        s0 = jnp.take_along_axis(scores, nid_c[:, None], axis=1)[:, 0].astype(jnp.int32)
+        p0 = jnp.full((B,), -1, jnp.int32)
+
+    max_pc = jnp.maximum(jnp.max(jnp.where(row_act, pc, 0)), 0)
+
+    def e_body(e, carry):
+        s, p = carry
+        begin = jnp.clip(edges[:, e], 0, N - 1)
+        ew = ws[:, e]
+        sc_begin = jnp.take_along_axis(scores, begin[:, None], axis=1)[:, 0]
+        use = row_act & (e < pc)
+        if skip_cleared:
+            use = use & (sc_begin != -1)
+        sc_pred = jnp.take_along_axis(
+            scores, jnp.clip(p, 0, N - 1)[:, None], axis=1
+        )[:, 0]
+        take = use & (
+            (s < ew) | ((s == ew) & (p != -1) & (sc_pred <= sc_begin))
+        )
+        s = jnp.where(take, ew, s)
+        p = jnp.where(take, begin, p)
+        return s, p
+
+    s, p = jax.lax.fori_loop(0, max_pc, e_body, (s0, p0))
+    sc_p = jnp.take_along_axis(scores, jnp.clip(p, 0, N - 1)[:, None], axis=1)[:, 0]
+    s = jnp.where(p != -1, s + sc_p, s)
+    return s, p
+
+
+@jax.jit
+def consensus_batched(state, active, max_consensus: int | None = None):
+    """Returns (consensus chars (B, C) BACKWARD order, coverage (B, C),
+    lengths (B,)). C = N."""
+    st = state
+    B, N = st["nodes"].shape
+    E = st["in_edges"].shape[2]
+    A = st["al"].shape[2]
+    b_idx = jnp.arange(B)
+    bigN = B * N
+
+    scores = jnp.full((B, N), -1, jnp.int32)
+    preds = jnp.full((B, N), -1, jnp.int32)
+    act0 = active & (st["error"] == 0)
+    max_nc = jnp.max(jnp.where(act0, st["node_count"], 0))
+
+    def pass_body(gp, carry):
+        scores, preds, max_score, max_id = carry
+        nid = _gather_bn(st["sorted"], jnp.broadcast_to(gp, (B,)))
+        row_act = act0 & (gp < st["node_count"])
+        nid_c = jnp.clip(nid, 0, N - 1)
+        s, p = _consensus_row_update(st, scores, preds, nid_c, row_act, False)
+        flat = jnp.where(row_act, b_idx * N + nid_c, bigN)
+        scores = scores.reshape(-1).at[flat].set(s, mode="drop").reshape(B, N)
+        preds = preds.reshape(-1).at[flat].set(p, mode="drop").reshape(B, N)
+        upd = row_act & (max_score <= s)
+        max_score = jnp.where(upd, s, max_score)
+        max_id = jnp.where(upd, nid_c, max_id)
+        return scores, preds, max_score, max_id
+
+    scores, preds, max_score, max_id = jax.lax.fori_loop(
+        0, max_nc, pass_body, (scores, preds, jnp.full((B,), -1, jnp.int32), jnp.zeros((B,), jnp.int32))
+    )
+
+    # branch completion loop
+    def bc_cond(carry):
+        scores, preds, max_id, loops = carry
+        oc = jnp.take_along_axis(st["out_count"], max_id[:, None], axis=1)[:, 0]
+        return jnp.any(act0 & (oc != 0) & (loops < st["node_count"]))
+
+    def bc_body(carry):
+        scores, preds, max_id, loops = carry
+        oc = jnp.take_along_axis(st["out_count"], max_id[:, None], axis=1)[:, 0]
+        br_act = act0 & (oc != 0) & (loops < st["node_count"])
+        pos = jnp.take_along_axis(st["pos_of"], max_id[:, None], axis=1)[:, 0]
+        # clear sibling scores (branchCompletion:55-70)
+        outs = _gather_bne(st["out_edges"], max_id)  # (B, E)
+        e_idx = jnp.arange(E)[None, :]
+        oc_mask = br_act[:, None] & (e_idx < oc[:, None])
+
+        def clear_body(oe, scores):
+            out = jnp.clip(outs[:, oe], 0, N - 1)
+            out_ic = jnp.take_along_axis(st["in_count"], out[:, None], axis=1)[:, 0]
+            ins = _gather_bne(st["in_edges"], out)  # (B, E)
+            m = (
+                oc_mask[:, oe][:, None]
+                & (e_idx < out_ic[:, None])
+                & (ins != max_id[:, None])
+            )
+            flat = jnp.where(m, b_idx[:, None] * N + jnp.clip(ins, 0, N - 1), bigN)
+            return (
+                scores.reshape(-1)
+                .at[flat.reshape(-1)]
+                .set(-1, mode="drop")
+                .reshape(B, N)
+            )
+
+        max_oc = jnp.maximum(jnp.max(jnp.where(br_act, oc, 0)), 0)
+        scores = jax.lax.fori_loop(0, max_oc, clear_body, scores)
+
+        # rescan from pos+1 (branchCompletion:75-115)
+        def rescan_body(gp, carry):
+            scores, preds, mxs, mxi = carry
+            nid = _gather_bn(st["sorted"], jnp.broadcast_to(gp, (B,)))
+            row_act = br_act & (gp > pos) & (gp < st["node_count"])
+            nid_c = jnp.clip(nid, 0, N - 1)
+            s, p = _consensus_row_update(st, scores, preds, nid_c, row_act, True)
+            flat = jnp.where(row_act, b_idx * N + nid_c, bigN)
+            # predecessors reset to -1 then set (reference resets per node)
+            preds = preds.reshape(-1).at[flat].set(p, mode="drop").reshape(B, N)
+            scores = scores.reshape(-1).at[flat].set(s, mode="drop").reshape(B, N)
+            upd = row_act & (mxs <= s)
+            mxs = jnp.where(upd, s, mxs)
+            mxi = jnp.where(upd, nid_c, mxi)
+            return scores, preds, mxs, mxi
+
+        scores, preds, mxs, mxi = jax.lax.fori_loop(
+            0, max_nc, rescan_body,
+            (scores, preds, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32)),
+        )
+        max_id = jnp.where(br_act, mxi, max_id)
+        loops = loops + br_act.astype(jnp.int32)
+        return scores, preds, max_id, loops
+
+    scores, preds, max_id, loops = jax.lax.while_loop(
+        bc_cond, bc_body, (scores, preds, max_id, jnp.zeros((B,), jnp.int32))
+    )
+    err = jnp.where(act0 & (loops >= st["node_count"]) & (loops > 0), 3, st["error"])
+
+    # backward emission
+    C = N
+    cons = jnp.zeros((B, C), jnp.int32)
+    cov = jnp.zeros((B, C), jnp.int32)
+    a_idx = jnp.arange(A)[None, :]
+    bigC = B * C
+
+    def em_cond(carry):
+        cur, k, cons, cov, done = carry
+        return jnp.any(~done)
+
+    def em_body(carry):
+        cur, k, cons, cov, done = carry
+        act = ~done
+        cur_c = jnp.clip(cur, 0, N - 1)
+        ch = _gather_bn(st["nodes"], cur_c)
+        cv = _gather_bn(st["cov"], cur_c)
+        als = _gather_bne(st["al"], cur_c)  # (B, A)
+        nal = _gather_bn(st["al_count"], cur_c)
+        al_cov = jnp.take_along_axis(st["cov"], jnp.clip(als, 0, N - 1), axis=1)
+        cv = cv + jnp.sum(jnp.where(a_idx < nal[:, None], al_cov, 0), axis=1)
+        kc = jnp.clip(k, 0, C - 1)
+        flat = jnp.where(act, b_idx * C + kc, bigC)
+        cons = cons.reshape(-1).at[flat].set(ch, mode="drop").reshape(B, C)
+        cov = cov.reshape(-1).at[flat].set(cv, mode="drop").reshape(B, C)
+        p = jnp.take_along_axis(preds, cur_c[:, None], axis=1)[:, 0]
+        newly_done = act & (p == -1)
+        cur = jnp.where(act & ~newly_done, p, cur)
+        k = k + act.astype(jnp.int32)
+        done = done | newly_done
+        return cur, k, cons, cov, done
+
+    done0 = ~act0 | (err != 0)
+    cur0 = max_id
+    _, length, cons, cov, _ = jax.lax.while_loop(
+        em_cond, em_body, (cur0, jnp.zeros((B,), jnp.int32), cons, cov, done0)
+    )
+    return cons, cov, length, err
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def poa_batch_consensus(
+    windows: list[list[str]],
+    gap: int = -8,
+    mismatch: int = -6,
+    match: int = 8,
+    max_nodes: int | None = None,
+    max_edges: int = MAX_NODE_EDGES,
+    max_alignments: int = MAX_NODE_ALIGNMENTS,
+    weights: list[list[np.ndarray]] | None = None,
+) -> tuple[list[str], list[np.ndarray], list[int]]:
+    """Run batched POA consensus over a list of windows (each a list of
+    sequences). Returns (consensus list, coverage list, status list —
+    0 = success). The lockstep-batch equivalent of Batch::generate_poa +
+    get_consensus (cudapoa_batch.cuh)."""
+    B = len(windows)
+    S = max(len(w) for w in windows)
+    L = max(max(len(s) for s in w) for w in windows)
+    if max_nodes is None:
+        max_nodes = 3 * L  # BatchConfig: max_nodes_per_graph = 3 * max seq size
+    N = max_nodes
+
+    seqs = np.zeros((B, S, L), dtype=np.int32)
+    wts = np.ones((B, S, L), dtype=np.int32)
+    lens = np.zeros((B, S), dtype=np.int32)
+    nseqs = np.zeros(B, dtype=np.int32)
+    for b, w in enumerate(windows):
+        nseqs[b] = len(w)
+        for s, seq in enumerate(w):
+            e = np.frombuffer(seq.encode("latin1"), dtype=np.uint8)
+            seqs[b, s, : len(e)] = e
+            lens[b, s] = len(e)
+            if weights is not None:
+                wts[b, s, : len(e)] = weights[b][s]
+
+    seqs_j = jnp.asarray(seqs)
+    wts_j = jnp.asarray(wts)
+    lens_j = jnp.asarray(lens)
+    nseqs_j = jnp.asarray(nseqs)
+
+    state = init_graph_state(B, N, max_edges, max_alignments)
+    all_active = jnp.ones(B, dtype=bool)
+    state = build_backbone_batched(
+        state, seqs_j[:, 0], lens_j[:, 0], wts_j[:, 0], all_active
+    )
+
+    scores_buf = jnp.zeros((B, N + 1, L + 1), jnp.int32)
+    codes_buf = jnp.zeros((B, N + 1, L + 1), jnp.int32)
+
+    for s in range(1, S):
+        active = nseqs_j > s
+        if not bool(jnp.any(active)):
+            break
+        # node-count guard (kernels.cuh:254-259)
+        err = jnp.where(
+            active & (state["node_count"] >= N) & (state["error"] == 0),
+            1,
+            state["error"],
+        )
+        state = dict(state)
+        state["error"] = err
+        act = active & (state["error"] == 0)
+        ag, ar, aln_len, failed, scores_buf, codes_buf = nw_batched(
+            state, seqs_j[:, s], lens_j[:, s], scores_buf, codes_buf, act,
+            gap=gap, mismatch=mismatch, match=match,
+        )
+        state["error"] = jnp.where(act & failed, 3, state["error"])
+        act = active & (state["error"] == 0)
+        state = add_alignment_batched(
+            state, ag, ar, aln_len, seqs_j[:, s], wts_j[:, s], act
+        )
+        act = active & (state["error"] == 0)
+        state = topsort_batched(state, act)
+
+    cons, cov, length, err = consensus_batched(state, all_active)
+    cons = np.asarray(cons)
+    cov = np.asarray(cov)
+    length = np.asarray(length)
+    err = np.asarray(err)
+
+    out_cons: list[str] = []
+    out_cov: list[np.ndarray] = []
+    out_status: list[int] = []
+    for b in range(B):
+        if err[b] != 0:
+            out_cons.append("")
+            out_cov.append(np.zeros(0, np.int32))
+            out_status.append(int(err[b]))
+        else:
+            k = int(length[b])
+            out_cons.append(bytes(cons[b, :k][::-1].astype(np.uint8)).decode("latin1"))
+            out_cov.append(cov[b, :k][::-1].copy())
+            out_status.append(0)
+    return out_cons, out_cov, out_status
