@@ -2,11 +2,15 @@
 
 from genomeworks_tpu.poa.cpu_reference import (
     poa_consensus,
+    poa_msa,
     PoaGraph,
     PoaError,
     build_backbone,
     nw_align,
     add_alignment,
     topological_sort,
+    racon_topological_sort,
     generate_consensus,
+    generate_msa,
 )
+from genomeworks_tpu.poa.jax_poa import poa_batch_consensus, poa_batch_msa

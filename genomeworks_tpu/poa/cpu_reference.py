@@ -18,6 +18,12 @@ CPU baseline for the POA benchmark:
   pass in topological order with the reference's exact tie-breaks,
   branchCompletion when the max node is not a sink, backward emission +
   coverage = node + aligned-node coverages)
+- MSA: cudapoa_generate_msa.cuh (racon/SPOA-exact DFS topological sort
+  cudapoa_topsort.cuh:104, node->MSA-column map getNodeIDToMSAPosDevice
+  :35 grouping aligned nodes into one column, per-sequence path walk
+  generateMSADevice :56 following out-edges covered by the sequence)
+  with the per-edge coverage bookkeeping of cudapoa_add_alignment.cuh
+  :239-272 and begin-node tracking :215-219
 
 Default scores match the reference tool/benchmark: gap=-8, mismatch=-6,
 match=8 (benchmarks/multi_batch.hpp:62, application_parameters.hpp:30-45).
@@ -55,6 +61,11 @@ class PoaGraph:
         self.sorted_poa = np.zeros(n, dtype=np.int32)
         self.node_id_to_pos = np.zeros(n, dtype=np.int32)
         self.node_count = 0
+        # MSA bookkeeping (cudapoa_add_alignment.cuh:239-272): per outgoing
+        # edge, the list of sequence ids whose path traverses it; and the
+        # first graph node of each added sequence (:215-219).
+        self.out_edge_coverage: dict[tuple[int, int], list[int]] = {}
+        self.seq_begin_nodes: list[int] = []
 
 
 def build_backbone(graph: PoaGraph, seq: np.ndarray, weights: np.ndarray) -> None:
@@ -77,6 +88,10 @@ def build_backbone(graph: PoaGraph, seq: np.ndarray, weights: np.ndarray) -> Non
     g.incoming_edge_w[0, 0] = weights[0]
     g.incoming_edge_w[1:L, 0] = weights[: L - 1].astype(np.int32) + weights[1:L]
     g.node_count = L
+    # backbone edges are all covered by sequence 0 (kernels.cuh:212-234)
+    for i in range(L - 1):
+        g.out_edge_coverage[(i, 0)] = [0]
+    g.seq_begin_nodes = [0]
 
 
 def nw_align(
@@ -189,8 +204,11 @@ def add_alignment(
     alignment_read: np.ndarray,
     read: np.ndarray,
     weights: np.ndarray,
+    seq_id: int | None = None,
 ) -> None:
-    """cudapoa_add_alignment.cuh addAlignmentToGraph."""
+    """cudapoa_add_alignment.cuh addAlignmentToGraph. When ``seq_id`` is
+    given, MSA bookkeeping (edge coverage, begin nodes) is tracked as in
+    the MSA=true template instantiation (:215-272)."""
     g = graph
     head = -1
     prev_weight = 0
@@ -247,6 +265,9 @@ def add_alignment(
                     new_al += 1
                     g.node_alignment_count[cur] = new_al
 
+        if seq_id is not None and read_pos == 0:
+            g.seq_begin_nodes.append(int(cur))
+
         if head != -1:
             in_count = g.incoming_edge_count[cur]
             edge_exists = False
@@ -260,9 +281,18 @@ def add_alignment(
                 g.incoming_edge_count[cur] = in_count + 1
                 oc = g.outgoing_edge_count[head]
                 g.outgoing_edges[head, oc] = cur
+                if seq_id is not None:
+                    g.out_edge_coverage[(int(head), int(oc))] = [seq_id]
                 g.outgoing_edge_count[head] = oc + 1
                 if oc + 1 >= MAX_NODE_EDGES or in_count + 1 >= MAX_NODE_EDGES:
                     raise PoaError("edge_count_exceeded_maximum_graph_size")
+            elif seq_id is not None:
+                for e in range(g.outgoing_edge_count[head]):
+                    if g.outgoing_edges[head, e] == cur:
+                        g.out_edge_coverage.setdefault(
+                            (int(head), int(e)), []
+                        ).append(seq_id)
+                        break
         head = cur
         g.node_coverage_counts[head] += 1
         prev_weight = w
@@ -292,6 +322,137 @@ def topological_sort(graph: PoaGraph) -> None:
         i += 1
     if sorted_pos != n:
         raise PoaError("graph is not a DAG after update")
+
+
+def racon_topological_sort(graph: PoaGraph) -> tuple[np.ndarray, np.ndarray]:
+    """cudapoa_topsort.cuh:104 raconTopologicalSortDeviceUtil — SPOA-exact
+    DFS ordering that places every node immediately followed by its aligned
+    nodes. Returns (sorted_poa, node_id_to_pos) without mutating the graph
+    (the MSA kernel recomputes this ordering privately)."""
+    g = graph
+    n = g.node_count
+    sorted_poa = np.zeros(n, dtype=np.int32)
+    pos_of = np.zeros(g.max_nodes, dtype=np.int32)
+    marks = np.zeros(g.max_nodes, dtype=np.int8)
+    check_aligned = np.ones(g.max_nodes, dtype=bool)
+    stack: list[int] = []
+    out = 0
+    for i in range(n):
+        if marks[i] != 0:
+            continue
+        stack.append(i)
+        while stack:
+            nid = stack[-1]
+            valid = True
+            if marks[nid] != 2:
+                for e in range(g.incoming_edge_count[nid]):
+                    b = g.incoming_edges[nid, e]
+                    if marks[b] != 2:
+                        stack.append(int(b))
+                        valid = False
+                if check_aligned[nid]:
+                    for a in range(g.node_alignment_count[nid]):
+                        aid = g.node_alignments[nid, a]
+                        if marks[aid] != 2:
+                            stack.append(int(aid))
+                            check_aligned[aid] = False
+                            valid = False
+                if valid:
+                    marks[nid] = 2
+                    if check_aligned[nid]:
+                        sorted_poa[out] = nid
+                        pos_of[nid] = out
+                        out += 1
+                        for a in range(g.node_alignment_count[nid]):
+                            aid = g.node_alignments[nid, a]
+                            sorted_poa[out] = aid
+                            pos_of[aid] = out
+                            out += 1
+                else:
+                    marks[nid] = 1
+            if valid:
+                stack.pop()
+    return sorted_poa, pos_of
+
+
+def generate_msa(graph: PoaGraph, num_sequences: int) -> list[str]:
+    """cudapoa_generate_msa.cuh — node->column map (getNodeIDToMSAPosDevice
+    :35) over the racon ordering, then one gapped row per sequence
+    (generateMSADevice :56)."""
+    g = graph
+    n = g.node_count
+    sorted_poa, _ = racon_topological_sort(g)
+
+    node_to_col = np.zeros(n, dtype=np.int32)
+    col = 0
+    rank = 0
+    while rank < n:
+        nid = sorted_poa[rank]
+        node_to_col[nid] = col
+        for _ in range(g.node_alignment_count[nid]):
+            rank += 1
+            node_to_col[sorted_poa[rank]] = col
+        col += 1
+        rank += 1
+    msa_length = col
+
+    rows: list[str] = []
+    for s in range(num_sequences):
+        row = np.full(msa_length, ord("-"), dtype=np.uint8)
+        nid = g.seq_begin_nodes[s]
+        while True:
+            row[node_to_col[nid]] = g.nodes[nid]
+            nxt = -1
+            for e in range(g.outgoing_edge_count[nid]):
+                cov = g.out_edge_coverage.get((int(nid), int(e)), [])
+                if s in cov:
+                    nxt = int(g.outgoing_edges[nid, e])
+                    break
+            if nxt == -1:
+                break
+            nid = nxt
+        rows.append(bytes(row).decode("latin1"))
+    return rows
+
+
+def poa_msa(
+    seqs: list[str],
+    weights: list[np.ndarray] | None = None,
+    gap: int = -8,
+    mismatch: int = -6,
+    match: int = 8,
+    max_nodes: int | None = None,
+) -> list[str]:
+    """Full window POA returning the multiple sequence alignment (the
+    OutputType::msa path of Batch::generate_poa + get_msa)."""
+    g = _build_window_graph(seqs, weights, gap, mismatch, match, max_nodes)
+    return generate_msa(g, len(seqs))
+
+
+def _build_window_graph(
+    seqs: list[str],
+    weights: list[np.ndarray] | None,
+    gap: int,
+    mismatch: int,
+    match: int,
+    max_nodes: int | None,
+) -> PoaGraph:
+    if not seqs:
+        raise ValueError("empty window")
+    enc = [np.frombuffer(s.encode("latin1"), dtype=np.uint8) for s in seqs]
+    if weights is None:
+        weights = [np.ones(len(s), dtype=np.int32) for s in seqs]
+    if max_nodes is None:
+        max_nodes = 3 * max(len(s) for s in seqs)
+    g = PoaGraph(max_nodes)
+    build_backbone(g, enc[0], weights[0])
+    for s in range(1, len(enc)):
+        if g.node_count >= g.max_nodes:
+            raise PoaError("node_count_exceeded_maximum_graph_size")
+        ag, ar = nw_align(g, enc[s], gap, mismatch, match)
+        add_alignment(g, ag, ar, enc[s], weights[s], seq_id=s)
+        topological_sort(g)
+    return g
 
 
 def generate_consensus(graph: PoaGraph) -> tuple[str, np.ndarray]:
@@ -399,23 +560,7 @@ def poa_consensus(
     max_nodes: int | None = None,
 ) -> tuple[str, np.ndarray]:
     """Full window POA: backbone + iterative align/add/sort + consensus.
-    Returns (consensus string, per-base coverage)."""
-    if not seqs:
-        raise ValueError("empty window")
-    enc = [np.frombuffer(s.encode("latin1"), dtype=np.uint8) for s in seqs]
-    if weights is None:
-        weights = [np.ones(len(s), dtype=np.int32) for s in seqs]
-    if max_nodes is None:
-        # BatchConfig: max_nodes_per_graph = 3 * max_sequence_size for
-        # full_band (batch.cu BatchConfig ctor)
-        max_nodes = 3 * max(len(s) for s in seqs)
-
-    g = PoaGraph(max_nodes)
-    build_backbone(g, enc[0], weights[0])
-    for s in range(1, len(enc)):
-        if g.node_count >= g.max_nodes:
-            raise PoaError("node_count_exceeded_maximum_graph_size")
-        ag, ar = nw_align(g, enc[s], gap, mismatch, match)
-        add_alignment(g, ag, ar, enc[s], weights[s])
-        topological_sort(g)
+    Returns (consensus string, per-base coverage). max_nodes defaults to
+    3 * max sequence size (BatchConfig ctor, batch.cu)."""
+    g = _build_window_graph(seqs, weights, gap, mismatch, match, max_nodes)
     return generate_consensus(g)

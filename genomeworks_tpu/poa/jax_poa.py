@@ -44,9 +44,15 @@ from genomeworks_tpu.poa.cpu_reference import MAX_NODE_EDGES, MAX_NODE_ALIGNMENT
 NEG = np.int32(-(1 << 30))
 
 
-def init_graph_state(B: int, N: int, E: int = MAX_NODE_EDGES, A: int = MAX_NODE_ALIGNMENTS):
+def init_graph_state(
+    B: int,
+    N: int,
+    E: int = MAX_NODE_EDGES,
+    A: int = MAX_NODE_ALIGNMENTS,
+    max_seqs: int | None = None,
+):
     z = lambda *s: jnp.zeros(s, jnp.int32)
-    return {
+    state = {
         "nodes": z(B, N),
         "in_edges": z(B, N, E),
         "in_count": z(B, N),
@@ -61,6 +67,15 @@ def init_graph_state(B: int, N: int, E: int = MAX_NODE_EDGES, A: int = MAX_NODE_
         "node_count": z(B),
         "error": z(B),
     }
+    if max_seqs is not None:
+        # MSA bookkeeping. Where the reference stores per-edge coverage
+        # lists (cudapoa_add_alignment.cuh:239-272, N*E*S uint16 words), a
+        # sequence traverses each graph node at most once, so its covered
+        # out-edge is unique — the successor map seq_next[b, node, s] is an
+        # equivalent, E-times smaller encoding of the MSA walk.
+        state["seq_next"] = jnp.full((B, N, max_seqs), -1, jnp.int32)
+        state["begin"] = z(B, max_seqs)
+    return state
 
 
 # ---------------------------------------------------------------------------
@@ -103,6 +118,18 @@ def build_backbone_batched(state, seq, seq_len, weights, active):
     st["in_w"] = state["in_w"].at[:, :, 0].set(in_w0)
 
     st["node_count"] = jnp.where(active, seq_len, state["node_count"])
+    if "seq_next" in state:
+        # backbone path: node i -> i+1, all covered by sequence 0
+        # (kernels.cuh:212-234); begin node of sequence 0 is node 0.
+        nxt0 = jnp.where(
+            upd & (n_idx[None, :] < seq_len[:, None] - 1),
+            n_idx[None, :] + 1,
+            state["seq_next"][:, :, 0],
+        )
+        st["seq_next"] = state["seq_next"].at[:, :, 0].set(nxt0)
+        st["begin"] = state["begin"].at[:, 0].set(
+            jnp.where(active, 0, state["begin"][:, 0])
+        )
     return st
 
 
@@ -356,9 +383,10 @@ def nw_batched(state, read, read_len, scores_buf, codes_buf, active,
 
 
 @jax.jit
-def add_alignment_batched(state, ag, ar, aln_len, read, weights, active):
+def add_alignment_batched(state, ag, ar, aln_len, read, weights, active, seq_id=None):
     """Walk the alignment (backward buffers -> forward order) updating the
-    graphs. read/weights (B, L); ag/ar (B, K); aln_len (B,)."""
+    graphs. read/weights (B, L); ag/ar (B, K); aln_len (B,). ``seq_id``
+    (traced scalar) is required when the state carries MSA bookkeeping."""
     B, N = state["nodes"].shape
     E = state["in_edges"].shape[2]
     A = state["al"].shape[2]
@@ -479,6 +507,21 @@ def add_alignment_batched(state, ag, ar, aln_len, read, weights, active):
 
         # coverage
         cov = cov.reshape(-1).at[jnp.where(act, b_idx * N + cur, bigN)].add(1, mode="drop").reshape(B, N)
+
+        # MSA bookkeeping: successor of head on this sequence's path, and
+        # the sequence's begin node (add_alignment.cuh:215-272).
+        if "seq_next" in st:
+            S = st["seq_next"].shape[2]
+            flat_sn = jnp.where(has_head, (b_idx * N + head_c) * S + seq_id, B * N * S)
+            st = dict(st)
+            st["seq_next"] = (
+                st["seq_next"].reshape(-1).at[flat_sn].set(cur, mode="drop").reshape(B, N, S)
+            )
+            beg = act & (read_pos == 0)
+            flat_bg = jnp.where(beg, b_idx * S + seq_id, B * S)
+            st["begin"] = (
+                st["begin"].reshape(-1).at[flat_bg].set(cur, mode="drop").reshape(B, S)
+            )
 
         st = dict(st)
         st["nodes"] = nodes
@@ -707,7 +750,7 @@ def consensus_batched(state, active, max_consensus: int | None = None):
 # ---------------------------------------------------------------------------
 
 
-def poa_batch_consensus(
+def build_windows_graphs(
     windows: list[list[str]],
     gap: int = -8,
     mismatch: int = -6,
@@ -716,16 +759,23 @@ def poa_batch_consensus(
     max_edges: int = MAX_NODE_EDGES,
     max_alignments: int = MAX_NODE_ALIGNMENTS,
     weights: list[list[np.ndarray]] | None = None,
-) -> tuple[list[str], list[np.ndarray], list[int]]:
-    """Run batched POA consensus over a list of windows (each a list of
-    sequences). Returns (consensus list, coverage list, status list —
-    0 = success). The lockstep-batch equivalent of Batch::generate_poa +
-    get_consensus (cudapoa_batch.cuh)."""
+    msa: bool = False,
+):
+    """Pack windows into fixed-shape batch tensors and run the lockstep
+    graph build (backbone + per-sequence NW/add-alignment/topsort).
+    Returns the final graph ``state`` plus (nseqs, B)."""
     B = len(windows)
     S = max(len(w) for w in windows)
     L = max(max(len(s) for s in w) for w in windows)
     if max_nodes is None:
         max_nodes = 3 * L  # BatchConfig: max_nodes_per_graph = 3 * max seq size
+    if max_nodes < L:
+        # the reference rejects such groups at add time with
+        # StatusType::exceeded_maximum_sequence_size (cudapoa_batch.cuh)
+        raise ValueError(
+            f"max_nodes={max_nodes} is smaller than the longest window "
+            f"sequence ({L}); exceeded_maximum_sequence_size"
+        )
     N = max_nodes
 
     seqs = np.zeros((B, S, L), dtype=np.int32)
@@ -746,7 +796,9 @@ def poa_batch_consensus(
     lens_j = jnp.asarray(lens)
     nseqs_j = jnp.asarray(nseqs)
 
-    state = init_graph_state(B, N, max_edges, max_alignments)
+    state = init_graph_state(
+        B, N, max_edges, max_alignments, max_seqs=S if msa else None
+    )
     all_active = jnp.ones(B, dtype=bool)
     state = build_backbone_batched(
         state, seqs_j[:, 0], lens_j[:, 0], wts_j[:, 0], all_active
@@ -775,11 +827,34 @@ def poa_batch_consensus(
         state["error"] = jnp.where(act & failed, 3, state["error"])
         act = active & (state["error"] == 0)
         state = add_alignment_batched(
-            state, ag, ar, aln_len, seqs_j[:, s], wts_j[:, s], act
+            state, ag, ar, aln_len, seqs_j[:, s], wts_j[:, s], act,
+            seq_id=jnp.int32(s) if msa else None,
         )
         act = active & (state["error"] == 0)
         state = topsort_batched(state, act)
+    return state, nseqs
 
+
+def poa_batch_consensus(
+    windows: list[list[str]],
+    gap: int = -8,
+    mismatch: int = -6,
+    match: int = 8,
+    max_nodes: int | None = None,
+    max_edges: int = MAX_NODE_EDGES,
+    max_alignments: int = MAX_NODE_ALIGNMENTS,
+    weights: list[list[np.ndarray]] | None = None,
+) -> tuple[list[str], list[np.ndarray], list[int]]:
+    """Run batched POA consensus over a list of windows (each a list of
+    sequences). Returns (consensus list, coverage list, status list —
+    0 = success). The lockstep-batch equivalent of Batch::generate_poa +
+    get_consensus (cudapoa_batch.cuh)."""
+    state, _ = build_windows_graphs(
+        windows, gap, mismatch, match, max_nodes, max_edges, max_alignments,
+        weights,
+    )
+    B = len(windows)
+    all_active = jnp.ones(B, dtype=bool)
     cons, cov, length, err = consensus_batched(state, all_active)
     cons = np.asarray(cons)
     cov = np.asarray(cov)
@@ -800,3 +875,103 @@ def poa_batch_consensus(
             out_cov.append(cov[b, :k][::-1].copy())
             out_status.append(0)
     return out_cons, out_cov, out_status
+
+
+def _racon_sort_host(n, in_edges, in_count, al, al_count):
+    """Host half of the MSA finishing pass: raconTopologicalSortDeviceUtil
+    (cudapoa_topsort.cuh:104) + getNodeIDToMSAPosDevice
+    (cudapoa_generate_msa.cuh:35) fused — returns (node->msa column,
+    msa_length)."""
+    node_to_col = np.zeros(n, dtype=np.int32)
+    marks = np.zeros(n, dtype=np.int8)
+    check_aligned = np.ones(n, dtype=bool)
+    stack: list[int] = []
+    col = 0
+    for i in range(n):
+        if marks[i] != 0:
+            continue
+        stack.append(i)
+        while stack:
+            nid = stack[-1]
+            valid = True
+            if marks[nid] != 2:
+                for e in range(in_count[nid]):
+                    b = in_edges[nid, e]
+                    if marks[b] != 2:
+                        stack.append(int(b))
+                        valid = False
+                if check_aligned[nid]:
+                    for a in range(al_count[nid]):
+                        aid = al[nid, a]
+                        if marks[aid] != 2:
+                            stack.append(int(aid))
+                            check_aligned[aid] = False
+                            valid = False
+                if valid:
+                    marks[nid] = 2
+                    if check_aligned[nid]:
+                        node_to_col[nid] = col
+                        for a in range(al_count[nid]):
+                            node_to_col[al[nid, a]] = col
+                        col += 1
+            if valid:
+                stack.pop()
+    return node_to_col, col
+
+
+def poa_batch_msa(
+    windows: list[list[str]],
+    gap: int = -8,
+    mismatch: int = -6,
+    match: int = 8,
+    max_nodes: int | None = None,
+    max_edges: int = MAX_NODE_EDGES,
+    max_alignments: int = MAX_NODE_ALIGNMENTS,
+    weights: list[list[np.ndarray]] | None = None,
+) -> tuple[list[list[str]], list[int]]:
+    """Batched multiple-sequence-alignment output (the OutputType::msa path
+    of Batch::generate_poa + get_msa). The graph build runs on device; the
+    column mapping + per-sequence emission (pure pointer chasing, zero
+    FLOPs) runs on host from a single device->host state copy, like the
+    reference's D2H of multiple_sequence_alignments_d."""
+    state, nseqs = build_windows_graphs(
+        windows, gap, mismatch, match, max_nodes, max_edges, max_alignments,
+        weights, msa=True,
+    )
+    err = np.asarray(state["error"])
+    node_count = np.asarray(state["node_count"])
+    nodes = np.asarray(state["nodes"])
+    in_edges = np.asarray(state["in_edges"])
+    in_count = np.asarray(state["in_count"])
+    al = np.asarray(state["al"])
+    al_count = np.asarray(state["al_count"])
+    seq_next = np.asarray(state["seq_next"])
+    begin = np.asarray(state["begin"])
+
+    out_msa: list[list[str]] = []
+    out_status: list[int] = []
+    for b in range(len(windows)):
+        if err[b] != 0:
+            out_msa.append([])
+            out_status.append(int(err[b]))
+            continue
+        n = int(node_count[b])
+        node_to_col, msa_length = _racon_sort_host(
+            n, in_edges[b], in_count[b], al[b], al_count[b]
+        )
+        ns = int(nseqs[b])
+        # vectorized walk over all sequences of the window at once: every
+        # live sequence advances one node per step via seq_next
+        cur = begin[b, :ns].copy()
+        rows = np.full((ns, msa_length), ord("-"), dtype=np.uint8)
+        live = np.ones(ns, dtype=bool)
+        sidx = np.arange(ns)
+        while live.any():
+            c = np.clip(cur, 0, n - 1)
+            rows[live, node_to_col[c[live]]] = nodes[b][c[live]]
+            nxt = seq_next[b][c, sidx]
+            cur = np.where(live, nxt, cur)
+            live = live & (cur != -1)
+        out_msa.append([bytes(r).decode("latin1") for r in rows])
+        out_status.append(0)
+    return out_msa, out_status

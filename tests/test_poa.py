@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from genomeworks_tpu.poa import poa_consensus
-from genomeworks_tpu.poa.jax_poa import poa_batch_consensus
+from genomeworks_tpu.poa.cpu_reference import poa_msa
+from genomeworks_tpu.poa.jax_poa import poa_batch_consensus, poa_batch_msa
 from genomeworks_tpu.simulators.genomesim import generate_random_genome, mutate_sequence
 from genomeworks_tpu.aligner import edit_distance_cpu
 
@@ -57,6 +58,49 @@ def test_jax_matches_numpy_reference():
         assert status[b] == 0
         assert cons[b] == nc, f"window {b}"
         np.testing.assert_array_equal(cov[b], ncov, err_msg=f"window {b}")
+
+
+def test_msa_simple_snp():
+    seqs = ["ACGTACGT", "ACGAACGT", "ACGTACGT"]
+    msa = poa_msa(seqs)
+    assert msa == ["ACGTACGT", "ACGAACGT", "ACGTACGT"]
+
+
+def test_msa_insertion_makes_gap_columns():
+    seqs = ["ACGTACGT", "ACGTTTACGT", "ACGTACGT"]
+    msa = poa_msa(seqs)
+    assert len({len(r) for r in msa}) == 1
+    for s, row in zip(seqs, msa):
+        assert row.replace("-", "") == s
+    # the two short sequences must carry gaps where the insertion sits
+    assert "-" in msa[0] and "-" in msa[2] and "-" not in msa[1]
+
+
+def test_msa_roundtrip_property():
+    rng = np.random.default_rng(21)
+    truth = generate_random_genome(80, rng)
+    seqs = [truth] + [mutate_sequence(truth, rng, 0.08, 0.08) for _ in range(9)]
+    msa = poa_msa(seqs)
+    assert len(msa) == len(seqs)
+    assert len({len(r) for r in msa}) == 1
+    for s, row in zip(seqs, msa):
+        assert row.replace("-", "") == s
+
+
+def test_jax_msa_matches_numpy_reference():
+    rng = np.random.default_rng(77)
+    windows = []
+    for _ in range(4):
+        truth = generate_random_genome(int(rng.integers(30, 90)), rng)
+        n = int(rng.integers(1, 7))
+        windows.append([truth] + [mutate_sequence(truth, rng, 0.1, 0.1) for _ in range(n)])
+    windows.append(["ACGT", "ACGT"])
+    msa_j, status = poa_batch_msa(windows)
+    assert all(s == 0 for s in status)
+    for b, w in enumerate(windows):
+        assert msa_j[b] == poa_msa(w), f"window {b}"
+        for s, row in zip(w, msa_j[b]):
+            assert row.replace("-", "") == s
 
 
 def test_jax_window_batch_masking():
