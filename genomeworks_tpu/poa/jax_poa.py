@@ -607,7 +607,7 @@ def _consensus_row_update(st, scores, preds, nid, row_act, skip_cleared):
 
 
 @jax.jit
-def consensus_batched(state, active, max_consensus: int | None = None):
+def consensus_batched(state, active):
     """Returns (consensus chars (B, C) BACKWARD order, coverage (B, C),
     lengths (B,)). C = N."""
     st = state
