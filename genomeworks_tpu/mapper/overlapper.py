@@ -245,3 +245,124 @@ def post_process_overlaps(overlaps: list[Overlap], drop_fused_overlaps: bool = F
     if drop_fused_overlaps:
         result = [o for i, o in enumerate(result) if i >= num or not drop_mask[i]]
     return result
+
+
+def filter_overlaps(
+    overlaps: list[Overlap],
+    min_residues: int = 20,
+    min_overlap_len: int = 50,
+) -> list[Overlap]:
+    """Drop overlaps unlikely to be real (reference:
+    Overlapper::filter_overlaps, overlapper.hpp:92 + overlapper.cpp)."""
+    out = []
+    for o in overlaps:
+        if o.num_residues < min_residues:
+            continue
+        if (o.query_end_position_in_read - o.query_start_position_in_read) < min_overlap_len:
+            continue
+        out.append(o)
+    return out
+
+
+def extend_overlap_by_sequence_similarity(
+    overlap: Overlap,
+    query_sequence: str,
+    target_sequence: str,
+    extension: int,
+    required_similarity: float,
+) -> Overlap:
+    """Extend one overlap's head/tail when the flanking query and target
+    sequence windows are kmer-Jaccard similar (reference:
+    details::overlapper::extend_overlap_by_sequence_similarity,
+    overlapper.cpp:263-302). Returns the (possibly) extended overlap."""
+    from genomeworks_tpu.mapper.kmers import sequence_jaccard_similarity
+
+    qs = overlap.query_start_position_in_read
+    qe = overlap.query_end_position_in_read
+    ts = overlap.target_start_position_in_read
+    te = overlap.target_end_position_in_read
+
+    head = min(min(qs, extension), min(ts, extension))
+    if head > 0:
+        q_head = query_sequence[qs - head : qs]
+        t_head = target_sequence[ts - head : ts]
+        if sequence_jaccard_similarity(q_head, t_head, 15, 1) >= required_similarity:
+            qs -= head
+            ts -= head
+
+    tail = min(
+        min(extension, len(query_sequence) - qe),
+        min(extension, len(target_sequence) - te),
+    )
+    if tail > 0:
+        q_tail = query_sequence[qe : qe + tail]
+        t_tail = target_sequence[te : te + tail]
+        if sequence_jaccard_similarity(q_tail, t_tail, 15, 1) >= required_similarity:
+            qe += tail
+            te += tail
+
+    return dataclasses.replace(
+        overlap,
+        query_start_position_in_read=qs,
+        query_end_position_in_read=qe,
+        target_start_position_in_read=ts,
+        target_end_position_in_read=te,
+    )
+
+
+def _reverse_overlap(o: Overlap, target_len: int) -> Overlap:
+    """Flip an overlap's strand, mirroring target coordinates
+    (overlapper.cpp:310-316)."""
+    return dataclasses.replace(
+        o,
+        relative_strand="-" if o.relative_strand == "+" else "+",
+        target_start_position_in_read=target_len - o.target_end_position_in_read,
+        target_end_position_in_read=target_len - o.target_start_position_in_read,
+    )
+
+
+def rescue_overlap_ends(
+    overlaps: list[Overlap],
+    query_parser,
+    target_parser,
+    extension: int = 50,
+    required_similarity: float = 0.9,
+) -> list[Overlap]:
+    """Extend overlap ends by flanking-sequence similarity, up to 3 rounds
+    per overlap (reference: Overlapper::rescue_overlap_ends,
+    overlapper.cpp:304-373). Reverse-strand overlaps are rescued in
+    forward orientation against the reverse-complemented target."""
+    from genomeworks_tpu.core.sequence import reverse_complement
+
+    out: list[Overlap] = []
+    for o in overlaps:
+        query_sequence = query_parser.get_sequence_by_id(o.query_read_id).seq
+        target_sequence = target_parser.get_sequence_by_id(o.target_read_id).seq
+        reversed_ = False
+        if o.relative_strand == "-":
+            o = _reverse_overlap(o, len(target_sequence))
+            target_sequence = reverse_complement(target_sequence)
+            reversed_ = True
+
+        for _ in range(3):  # max_rescue_rounds (overlapper.cpp:345)
+            prev = (
+                o.query_start_position_in_read,
+                o.query_end_position_in_read,
+                o.target_start_position_in_read,
+                o.target_end_position_in_read,
+            )
+            o = extend_overlap_by_sequence_similarity(
+                o, query_sequence, target_sequence, extension, required_similarity
+            )
+            if prev == (
+                o.query_start_position_in_read,
+                o.query_end_position_in_read,
+                o.target_start_position_in_read,
+                o.target_end_position_in_read,
+            ):
+                break
+
+        if reversed_:
+            o = _reverse_overlap(o, len(target_sequence))
+        out.append(o)
+    return out

@@ -16,17 +16,32 @@ def main(argv=None):
     p.add_argument("-k", "--kmer-size", type=int, default=15)
     p.add_argument("-w", "--window-size", type=int, default=10)
     p.add_argument("-i", "--index-size", type=int, default=30, help="MB of bases per index")
-    p.add_argument("-F", "--filtering-parameter", type=float, default=1e-5)
+    p.add_argument(
+        "-F", "--filtering-parameter", type=float, default=None,
+        help="fraction threshold for filtering frequent minimizers "
+        "(default: auto — 1e-5, or off for inputs under 0.5 Mbp, "
+        "application_parameters.cpp:225-250)",
+    )
     p.add_argument("-r", "--min-residues", type=int, default=3)
     p.add_argument("-l", "--min-overlap-len", type=int, default=250)
     p.add_argument("-b", "--min-bases-per-residue", type=int, default=1000)
     p.add_argument("-z", "--min-overlap-fraction", type=float, default=0.8)
     p.add_argument("-D", "--drop-fused-overlaps", action="store_true")
     p.add_argument("-a", "--align", action="store_true", help="emit cg:Z CIGARs")
+    p.add_argument(
+        "-R", "--rescue-overlap-ends", action="store_true",
+        help="extend overlap ends by flanking-sequence similarity",
+    )
+    p.add_argument(
+        "--format", choices=("paf", "sam"), default="paf",
+        help="output format (reference: cudamapper --format)",
+    )
     args = p.parse_args(argv)
 
     from genomeworks_tpu.io import create_fasta_parser
+    from genomeworks_tpu.io.sam import write_sam
     from genomeworks_tpu.mapper import MapperParams, map_reads, overlaps_to_paf, align_overlaps
+    from genomeworks_tpu.mapper.overlapper import rescue_overlap_ends
 
     min_len = args.kmer_size + args.window_size - 1
     query_parser = create_fasta_parser(args.query, min_sequence_length=min_len)
@@ -50,9 +65,16 @@ def main(argv=None):
         drop_fused_overlaps=args.drop_fused_overlaps,
     )
     overlaps = map_reads(query_parser, target_parser, params, all_to_all)
+    if args.rescue_overlap_ends:
+        # main.cu rescue path (50 bp extension, 0.9 required similarity)
+        overlaps = rescue_overlap_ends(overlaps, query_parser, target_parser, 50, 0.9)
     cigars = align_overlaps(overlaps, query_parser, target_parser) if args.align else None
-    for line in overlaps_to_paf(overlaps, query_parser, target_parser, args.kmer_size, cigars):
-        sys.stdout.write(line + "\n")
+    if args.format == "sam":
+        write_sam(overlaps, cigars, query_parser, target_parser, sys.stdout,
+                  command_line=" ".join(argv) if argv else None)
+    else:
+        for line in overlaps_to_paf(overlaps, query_parser, target_parser, args.kmer_size, cigars):
+            sys.stdout.write(line + "\n")
 
 
 if __name__ == "__main__":
