@@ -138,9 +138,10 @@ def build_backbone_batched(state, seq, seq_len, weights, active):
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def topsort_batched(state, active):
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def topsort_batched(state, active, n_rows: int | None = None):
     B, N = state["in_count"].shape
+    R = N if n_rows is None else min(n_rows, N)
     E = state["out_edges"].shape[2]
     n_idx = jnp.arange(N)[None, :]
     in_graph = n_idx < state["node_count"][:, None]
@@ -194,7 +195,7 @@ def topsort_batched(state, active):
         return (sorted_poa, pos_of, local, tail), None
 
     (sorted_poa, pos_of, _, tail), _ = jax.lax.scan(
-        step2, (sorted0, pos0, local, tail0), jnp.arange(N, dtype=jnp.int32)
+        step2, (sorted0, pos0, local, tail0), jnp.arange(R, dtype=jnp.int32)
     )
     st = dict(state)
     st["sorted"] = jnp.where(active[:, None], sorted_poa, state["sorted"])
@@ -226,10 +227,228 @@ def _gather_bne(arr, idx):
     return jnp.take_along_axis(arr, idx[:, None, None], axis=1)[:, 0, :]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("gap", "mismatch", "match", "max_dist", "n_rows")
+)
+def nw_batched_fast(state, read, read_len, active,
+                    gap: int, mismatch: int, match: int,
+                    max_dist: int, n_rows: int):
+    """Full-band NW of `read` (B, L) vs the current graphs — the flagship
+    TPU path (cudapoa_nw.cuh re-designed for XLA).
+
+    Key design constraints on TPU/XLA: per-window row gathers from a large
+    carried score matrix lower to one-hot contractions, and updates of a
+    large loop carry copy the whole buffer every iteration. So this kernel
+    never materializes the score matrix at all:
+
+    - the last ``max_dist`` DP rows ride the ``lax.scan`` carry as an
+      unrolled tuple of (B, L+1) arrays — row rotation is pure SSA
+      renaming, costing nothing;
+    - predecessor rows are selected by DISTANCE (row - predecessor row in
+      topological order), with per-row distance masks precomputed in one
+      vectorized pass over the graph;
+    - max values and traceback codes are tracked together in a single
+      running (value, min-code) reduction, reproducing the reference's
+      re-derivation priority (diagonal < vertical by edge order, then
+      horizontal, cudapoa_nw.cuh:340-430);
+    - traceback codes leave the scan through its stacked `ys` output.
+
+    Windows containing a predecessor farther than ``max_dist`` rows are
+    reported in `far` and must be re-run via :func:`nw_batched_farpred`.
+    Returns (alignment_graph (B, K), alignment_read (B, K), aln_len (B,),
+    failed (B,), far (B,)); alignment entries are in BACKWARD order, like
+    the reference device buffers consumed by addAlignmentToGraph.
+    """
+    B, N = state["nodes"].shape
+    E = state["in_edges"].shape[2]
+    L = read.shape[1]
+    D = max_dist
+    R = n_rows
+    HORIZ = 2 * E
+    BIGP = 3 * E + 1
+    fNEG = jnp.float32(NEG)
+
+    slope = (gap * jnp.arange(L + 1)).astype(jnp.float32)
+
+    # ---- vectorized per-row metadata (one pass over the whole graph) ----
+    rows_idx = jnp.arange(R, dtype=jnp.int32)
+    nids = jnp.clip(state["sorted"][:, :R], 0, N - 1)  # (B, R)
+    pcs = jnp.take_along_axis(state["in_count"], nids, axis=1)
+    gbases = jnp.take_along_axis(state["nodes"], nids, axis=1)
+    preds = jnp.take_along_axis(state["in_edges"], nids[:, :, None], axis=1)  # (B,R,E)
+    ppos = jnp.take_along_axis(
+        state["pos_of"], jnp.clip(preds, 0, N - 1).reshape(B, -1), axis=1
+    ).reshape(B, R, E)
+    nc = jnp.where(active, state["node_count"], 0)
+    row_active = rows_idx[None, :] < nc[:, None]  # (B, R)
+    e_valid = jnp.arange(E)[None, None, :] < pcs[:, :, None]
+    valid = e_valid & row_active[:, :, None]
+    rel = rows_idx[None, :, None] - ppos  # distance k >= 1 (topological order)
+    far = jnp.any(valid & (rel > D), axis=(1, 2)) & active  # (B,)
+    act = active & ~far
+    valid = valid & act[:, None, None]
+
+    # distance masks: dmask[b,r,k-1] = row r has a predecessor at distance k;
+    # e_at = that predecessor's (unique) edge index
+    flat = (
+        (jnp.arange(B)[:, None, None] * R + rows_idx[None, :, None]) * D
+        + jnp.clip(rel - 1, 0, D - 1)
+    )
+    flat = jnp.where(valid & (rel >= 1) & (rel <= D), flat, B * R * D)
+    dmask = (
+        jnp.zeros((B * R * D,), jnp.bool_)
+        .at[flat.reshape(-1)]
+        .set(True, mode="drop")
+        .reshape(B, R, D)
+    )
+    e_ids = jnp.broadcast_to(
+        jnp.arange(E, dtype=jnp.int32)[None, None, :], (B, R, E)
+    )
+    e_at = (
+        jnp.full((B * R * D,), E, jnp.int32)
+        .at[flat.reshape(-1)]
+        .min(e_ids.reshape(-1), mode="drop")
+        .reshape(B, R, D)
+    )
+    bnd = (pcs == 0) & row_active & act[:, None]  # boundary rows: pred = row 0
+
+    xs = (
+        jnp.moveaxis(dmask, 1, 0),      # (R, B, D)
+        jnp.moveaxis(e_at, 1, 0),       # (R, B, D)
+        gbases.T,                        # (R, B)
+        bnd.T,                           # (R, B)
+        (row_active & act[:, None]).T,   # (R, B)
+    )
+
+    def body(rows, x):
+        dmask_r, e_at_r, gbase_r, bnd_r, act_r = x
+        sub = jnp.where(read == gbase_r[:, None], match, mismatch).astype(jnp.float32)
+
+        # running (value, min-code) over all predecessor candidates
+        val = jnp.full((B, L), fNEG)
+        code = jnp.full((B, L), BIGP, jnp.int32)
+        c0val = jnp.full((B,), fNEG)
+        c0code = jnp.full((B,), BIGP, jnp.int32)
+
+        def consider(val, code, cand, ccode, use):
+            cand = jnp.where(use, cand, fNEG)
+            better = cand > val
+            tie = cand == val
+            code = jnp.where(
+                better, ccode, jnp.where(tie, jnp.minimum(code, ccode), code)
+            )
+            val = jnp.maximum(val, cand)
+            return val, code
+
+        # boundary (pc == 0): predecessor is virtual row 0 = slope, edge 0
+        use_b = bnd_r[:, None]
+        val, code = consider(val, code, slope[None, :-1] + sub, jnp.int32(0), use_b)
+        val, code = consider(
+            val, code, jnp.broadcast_to(slope[None, 1:] + gap, (B, L)), jnp.int32(E), use_b
+        )
+        c0val, c0code = consider(
+            c0val, c0code, jnp.broadcast_to(slope[0] + gap, (B,)), jnp.int32(E), bnd_r
+        )
+
+        for k in range(1, D + 1):
+            prow = rows[k - 1]
+            use = dmask_r[:, k - 1][:, None]
+            ec = e_at_r[:, k - 1]
+            val, code = consider(val, code, prow[:, :-1] + sub, ec[:, None], use)
+            val, code = consider(val, code, prow[:, 1:] + gap, (E + ec)[:, None], use)
+            c0val, c0code = consider(
+                c0val, c0code, prow[:, 0] + gap, E + ec, dmask_r[:, k - 1]
+            )
+
+        row = jnp.concatenate([c0val[:, None], val], axis=1)
+        row = jax.lax.cummax(row - slope[None, :], axis=1) + slope[None, :]
+
+        # codes vs the closed row: predecessor code where it still achieves
+        # the final value, else horizontal
+        horiz = row[:, 1:] == row[:, :-1] + gap
+        fin = jnp.where(row[:, 1:] == val, code, BIGP)
+        fin = jnp.minimum(fin, jnp.where(horiz, HORIZ, BIGP))
+        code_row = jnp.concatenate(
+            [jnp.where(row[:, 0] == c0val, c0code, BIGP)[:, None], fin], axis=1
+        )
+
+        colL = jnp.take_along_axis(row, read_len[:, None], axis=1)[:, 0]
+        new_row = jnp.where(act_r[:, None], row, rows[0])
+        new_rows = (new_row,) + rows[: D - 1]
+        return new_rows, (code_row, colL)
+
+    rows0 = tuple(jnp.full((B, L + 1), fNEG) for _ in range(D))
+    _, (codes_ys, colL_ys) = jax.lax.scan(body, rows0, xs)
+    # codes_ys (R, B, L+1); colL_ys (R, B)
+
+    # traceback start: first max at column read_len among sink rows
+    col_at_L = colL_ys.T  # (B, R)
+    sorted_oc = jnp.take_along_axis(state["out_count"], nids, axis=1)  # (B, R)
+    sink = (sorted_oc == 0) & row_active
+    masked = jnp.where(sink, col_at_L, fNEG)
+    best_i = jnp.argmax(masked, axis=1).astype(jnp.int32) + 1
+
+    # traceback walk over the stacked code rows
+    K = N + L
+    ag = jnp.full((B, K), -1, jnp.int32)
+    ar = jnp.full((B, K), -1, jnp.int32)
+    b_idx = jnp.arange(B)
+    bigflat = B * K
+    codes_flat = codes_ys.reshape(-1)  # ((R*B*(L+1)),)
+
+    def tb_cond(carry):
+        i, j, k, ag, ar, steps = carry
+        return jnp.any(act & ((i != 0) | (j != 0))) & (steps < K + 2)
+
+    def tb_body(carry):
+        i, j, k, ag, ar, steps = carry
+        a_t = act & ((i != 0) | (j != 0))
+        flat_ij = (jnp.clip(i - 1, 0, R - 1) * B + b_idx) * (L + 1) + jnp.clip(j, 0, L)
+        code = codes_flat[flat_ij]
+        code = jnp.where(i == 0, HORIZ, code)
+        is_horiz = code == HORIZ
+        is_diag = code < E
+        e = jnp.where(is_horiz, 0, code % E)
+        nid = jnp.clip(
+            _gather_bn(state["sorted"], jnp.clip(i - 1, 0, N - 1)), 0, N - 1
+        )
+        pc = _gather_bn(state["in_count"], nid)
+        pred = jnp.clip(
+            jnp.take_along_axis(
+                _gather_bne(state["in_edges"], nid), e[:, None], axis=1
+            )[:, 0],
+            0,
+            N - 1,
+        )
+        pi = jnp.where(pc == 0, 0, _gather_bn(state["pos_of"], pred) + 1)
+        prev_i = jnp.where(is_horiz, i, pi)
+        prev_j = jnp.where(is_horiz | is_diag, j - 1, j)
+
+        ag_val = jnp.where(prev_i == i, -1, nid)
+        ar_val = jnp.where(prev_j == j, -1, j - 1)
+        flat_k = jnp.where(a_t, b_idx * K + k, bigflat)
+        ag = ag.reshape(-1).at[flat_k].set(ag_val, mode="drop").reshape(B, K)
+        ar = ar.reshape(-1).at[flat_k].set(ar_val, mode="drop").reshape(B, K)
+        i = jnp.where(a_t, prev_i, i)
+        j = jnp.where(a_t, prev_j, j)
+        k = k + a_t.astype(jnp.int32)
+        return i, j, k, ag, ar, steps + 1
+
+    i0 = jnp.where(act, best_i, 0)
+    j0 = jnp.where(act, read_len, 0)
+    i, j, k, ag, ar, steps = jax.lax.while_loop(
+        tb_cond, tb_body, (i0, j0, jnp.zeros(B, jnp.int32), ag, ar, jnp.int32(0))
+    )
+    failed = act & ((i != 0) | (j != 0))
+    return ag, ar, k, failed, far
+
+
 @functools.partial(jax.jit, static_argnames=("gap", "mismatch", "match"))
 def nw_batched(state, read, read_len, scores_buf, codes_buf, active,
                gap: int, mismatch: int, match: int):
-    """Full-band NW of `read` (B, L) vs the current graphs.
+    """Full-band NW of `read` (B, L) vs the current graphs — gather-based
+    fallback for windows whose predecessor distance exceeds the fast
+    kernel's window (see :func:`nw_batched_fast`).
 
     Returns (alignment_graph (B, K), alignment_read (B, K), aln_len (B,),
     scores_buf, codes_buf) with K = N + L; alignment entries are stored in
@@ -242,7 +461,14 @@ def nw_batched(state, read, read_len, scores_buf, codes_buf, active,
     HORIZ = 2 * E
     BIGP = 3 * E + 1
 
-    slope = gap * jnp.arange(L + 1, dtype=jnp.int32)
+    # Scores live in float32: every score is a small exact integer
+    # (|score| <= max(|gap|,|match|) * (N+L) << 2^24), and f32 lets the
+    # predecessor-row gathers run as one-hot matmuls on the MXU. XLA lowers
+    # int32 batched gathers from this (B, N+1, L+1) buffer to serialized
+    # VPU one-hot contractions — 3 orders of magnitude slower at N ~ 3k.
+    fNEG = jnp.float32(NEG)
+    slope = (gap * jnp.arange(L + 1)).astype(jnp.float32)
+    row_ids = jnp.arange(N + 1, dtype=jnp.int32)
 
     # row 0 boundary: scores[0][j] = j*gap (cudapoa_nw.cuh:185)
     scores_buf = scores_buf.at[:, 0, :].set(jnp.broadcast_to(slope, (B, L + 1)))
@@ -255,24 +481,34 @@ def nw_batched(state, read, read_len, scores_buf, codes_buf, active,
         pc = _gather_bn(state["in_count"], nid)
         gbase = _gather_bn(state["nodes"], nid)
         preds = _gather_bne(state["in_edges"], nid)  # (B, E)
-        sub = jnp.where(read == gbase[:, None], match, mismatch).astype(jnp.int32)
+        sub = jnp.where(read == gbase[:, None], match, mismatch).astype(jnp.float32)
 
         max_pc = jnp.maximum(jnp.max(pc), 1)
 
-        def e_body(e, carry):
-            base, col0 = carry
+        def gather_prow(e):
+            """Predecessor score row via one-hot MXU matmul. Returns
+            (prow (B, L+1) f32, use (B,) mask)."""
             pred = jnp.clip(preds[:, e], 0, N - 1)
             ppos = jnp.where(pc == 0, 0, _gather_bn(state["pos_of"], pred) + 1)
             use = (e == 0) | (e < pc)
             ppos = jnp.where(use, jnp.clip(ppos, 0, N), 0)
-            prow = _gather_rows(scores_buf, ppos)  # (B, L+1)
+            onehot = (row_ids[None, :] == ppos[:, None]).astype(jnp.float32)
+            prow = jnp.einsum(
+                "bn,bnl->bl", onehot, scores_buf,
+                preferred_element_type=jnp.float32,
+            )
+            return prow, use
+
+        def e_body(e, carry):
+            base, col0 = carry
+            prow, use = gather_prow(e)
             cand = jnp.maximum(prow[:, :-1] + sub, prow[:, 1:] + gap)
             base = jnp.where(use[:, None], jnp.maximum(base, cand), base)
             col0 = jnp.where(use, jnp.maximum(col0, prow[:, 0] + gap), col0)
             return base, col0
 
-        base0 = jnp.full((B, L), NEG, jnp.int32)
-        col00 = jnp.full((B,), NEG, jnp.int32)
+        base0 = jnp.full((B, L), fNEG, jnp.float32)
+        col00 = jnp.full((B,), fNEG, jnp.float32)
         base, col0 = jax.lax.fori_loop(0, max_pc, e_body, (base0, col00))
 
         # horizontal closure (prefix max with slope gap)
@@ -282,11 +518,7 @@ def nw_batched(state, read, read_len, scores_buf, codes_buf, active,
         # pass 2: record priority codes against the final row values
         def e_body2(e, carry):
             best, col0_best = carry
-            pred = jnp.clip(preds[:, e], 0, N - 1)
-            ppos = jnp.where(pc == 0, 0, _gather_bn(state["pos_of"], pred) + 1)
-            use = (e == 0) | (e < pc)
-            ppos = jnp.where(use, jnp.clip(ppos, 0, N), 0)
-            prow = _gather_rows(scores_buf, ppos)
+            prow, use = gather_prow(e)
             diag_eq = row[:, 1:] == prow[:, :-1] + sub
             vert_eq = row[:, 1:] == prow[:, 1:] + gap
             cand = jnp.where(diag_eq, e, jnp.where(vert_eq, E + e, BIGP))
@@ -313,12 +545,13 @@ def nw_batched(state, read, read_len, scores_buf, codes_buf, active,
 
     # traceback start: first max at column read_len among sink rows
     col_at_L = jnp.take_along_axis(scores_buf, read_len[:, None, None], axis=2)[:, :, 0]
+    col_at_L = col_at_L.astype(jnp.float32)
     sorted_oc = jnp.take_along_axis(
         state["out_count"], jnp.clip(state["sorted"], 0, N - 1), axis=1
     )  # (B, N) out_count in sorted order
     row_idx = jnp.arange(1, N + 1)[None, :]
     sink = (sorted_oc == 0) & (row_idx <= state["node_count"][:, None])
-    masked = jnp.where(sink, col_at_L[:, 1:], NEG)
+    masked = jnp.where(sink, col_at_L[:, 1:], jnp.float32(NEG))
     best_i = jnp.argmax(masked, axis=1).astype(jnp.int32) + 1
 
     # traceback walk
@@ -382,11 +615,11 @@ def nw_batched(state, read, read_len, scores_buf, codes_buf, active,
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def add_alignment_batched(state, ag, ar, aln_len, read, weights, active, seq_id=None):
-    """Walk the alignment (backward buffers -> forward order) updating the
-    graphs. read/weights (B, L); ag/ar (B, K); aln_len (B,). ``seq_id``
-    (traced scalar) is required when the state carries MSA bookkeeping."""
+def add_alignment_batched_seq(state, ag, ar, aln_len, read, weights, active, seq_id=None):
+    """Sequential (scan) alignment-to-graph walk — the exact reference
+    semantics, used for the rare windows where the vectorized walk detects
+    an aligned-clique conflict. Cost is proportional to the longest
+    alignment among ``active`` windows (free when none are)."""
     B, N = state["nodes"].shape
     E = state["in_edges"].shape[2]
     A = state["al"].shape[2]
@@ -554,6 +787,258 @@ def add_alignment_batched(state, ag, ar, aln_len, read, weights, active, seq_id=
 
     (st, _, _), _ = jax.lax.while_loop(
         cond, body, ((dict(state), head0, prev_w0), jnp.int32(0))
+    )
+    return st
+
+
+@jax.jit
+def add_alignment_batched(state, ag, ar, aln_len, read, weights, active, seq_id=None):
+    """Alignment-to-graph walk (cudapoa_add_alignment.cuh), vectorized.
+
+    The reference walks the alignment sequentially; on TPU a sequential
+    walk costs a loop step per alignment column. But along one read's path
+    every (head, cur) node pair is distinct, so edge existence, append
+    slots, and weight bumps depend only on the PRE-walk graph, and new-node
+    ids follow from a prefix count — the whole walk collapses into
+    one-shot vectorized decisions + scatters. The only sequential coupling
+    left is through node-alignment cliques: if two alignment columns touch
+    the same clique, a later column could reuse/extend a node created
+    earlier in the same walk. Such windows are detected (shared clique ids
+    among the walk's graph nodes) and re-run through the exact sequential
+    walk, which costs nothing when no window needs it.
+    """
+    B, N = state["nodes"].shape
+    E = state["in_edges"].shape[2]
+    A = state["al"].shape[2]
+    L = read.shape[1]
+    K = ag.shape[1]
+    b_idx = jnp.arange(B)
+    bigN = B * N
+    bigNE = B * N * E
+    bigNA = B * N * A
+
+    # ---- flip to walk order (reference walks pos = len-1 .. 0) ----------
+    ag_w = ag[:, ::-1]
+    ar_w = ar[:, ::-1]
+    valid = active[:, None] & (ar_w != -1)  # participating steps (B, K)
+
+    rp = jnp.clip(ar_w, 0, L - 1)
+    base = jnp.take_along_axis(read, rp, axis=1)
+    w = jnp.take_along_axis(weights, rp, axis=1)
+    gid = ag_w
+    gid_c = jnp.clip(gid, 0, N - 1)
+    gbase = jnp.take_along_axis(state["nodes"], gid_c, axis=1)
+
+    # pre-state aligned-node search
+    al_list = jnp.take_along_axis(state["al"], gid_c[:, :, None], axis=1)  # (B,K,A)
+    na = jnp.take_along_axis(state["al_count"], gid_c, axis=1)
+    al_bases = jnp.take_along_axis(
+        state["nodes"], jnp.clip(al_list, 0, N - 1).reshape(B, -1), axis=1
+    ).reshape(B, K, A)
+    a_idx = jnp.arange(A)[None, None, :]
+    match_mask = (a_idx < na[:, :, None]) & (al_bases == base[:, :, None])
+    has_aligned = jnp.any(match_mask, axis=2)
+    first_aligned = jnp.take_along_axis(
+        al_list, jnp.argmax(match_mask, axis=2)[:, :, None], axis=2
+    )[:, :, 0]
+
+    reuse_graph = valid & (gid != -1) & (gbase == base)
+    reuse_aligned = valid & (gid != -1) & (gbase != base) & has_aligned
+    new_node = valid & ~reuse_graph & ~reuse_aligned
+    new_aligned = new_node & (gid != -1)
+
+    # ---- conflict detection: two walk columns sharing an aligned clique --
+    clique = jnp.minimum(
+        gid_c, jnp.min(jnp.where(a_idx < na[:, :, None], al_list, N), axis=2)
+    )
+    clique = jnp.where(valid & (gid != -1), clique, N + jnp.arange(K)[None, :])
+    csort = jnp.sort(clique, axis=1)
+    conflict = jnp.any((csort[:, 1:] == csort[:, :-1]) & (csort[:, 1:] < N), axis=1)
+    ok = active & ~conflict
+    valid = valid & ok[:, None]
+    reuse_graph = reuse_graph & ok[:, None]
+    reuse_aligned = reuse_aligned & ok[:, None]
+    new_node = new_node & ok[:, None]
+    new_aligned = new_aligned & ok[:, None]
+
+    # ---- node ids: prefix count of new nodes along the walk -------------
+    new_i = new_node.astype(jnp.int32)
+    cum_excl = jnp.cumsum(new_i, axis=1) - new_i
+    new_total = jnp.sum(new_i, axis=1)
+    cur = jnp.where(
+        reuse_graph,
+        gid_c,
+        jnp.where(
+            reuse_aligned, first_aligned, state["node_count"][:, None] + cum_excl
+        ),
+    )
+    cur = jnp.where(valid, jnp.clip(cur, 0, N - 1), N)  # N = drop sentinel slot
+
+    node_count = jnp.where(ok, state["node_count"] + new_total, state["node_count"])
+    err = jnp.where(ok & (node_count >= N) & (new_total > 0), 1, state["error"])
+
+    # ---- head / prev_weight: forward fill of the previous valid step ----
+    k_ids = jnp.arange(K, dtype=jnp.int32)[None, :]
+    last_valid = jax.lax.cummax(jnp.where(valid, k_ids, -1), axis=1)
+    prev_idx = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), last_valid[:, :-1]], axis=1
+    )
+    has_head = valid & (prev_idx >= 0)
+    prev_c = jnp.clip(prev_idx, 0, K - 1)
+    head = jnp.where(has_head, jnp.take_along_axis(cur, prev_c, axis=1), N)
+    prev_w = jnp.where(has_head, jnp.take_along_axis(w, prev_c, axis=1), 0)
+    head_c = jnp.clip(head, 0, N - 1)
+
+    # effective counts: nodes created this walk start at zero
+    is_new_cur = new_node
+    head_is_new = has_head & jnp.take_along_axis(new_node, prev_c, axis=1)
+
+    # ---- edge existence (pre-state only: walk pairs are distinct) -------
+    in_list = jnp.take_along_axis(
+        state["in_edges"], jnp.clip(cur, 0, N - 1)[:, :, None], axis=1
+    )  # (B,K,E)
+    ic_pre = jnp.take_along_axis(state["in_count"], jnp.clip(cur, 0, N - 1), axis=1)
+    ic_eff = jnp.where(is_new_cur, 0, ic_pre)
+    e_idx = jnp.arange(E)[None, None, :]
+    exist_mask = (
+        has_head[:, :, None]
+        & ~is_new_cur[:, :, None]
+        & (e_idx < ic_eff[:, :, None])
+        & (in_list == head[:, :, None])
+    )
+    exists = jnp.any(exist_mask, axis=2)
+    app = has_head & ~exists
+
+    oc_pre = jnp.take_along_axis(state["out_count"], head_c, axis=1)
+    oc_eff = jnp.where(head_is_new, 0, oc_pre)
+    err = jnp.where(
+        jnp.any(app & ((oc_eff + 1 >= E) | (ic_eff + 1 >= E)), axis=1) & ok, 2, err
+    )
+    err = jnp.where(jnp.any(new_aligned & (na + 1 > A - 1), axis=1) & ok, 2, err)
+
+    # ---- apply: new-node init -------------------------------------------
+    flat_cur = jnp.where(new_node, b_idx[:, None] * N + cur, bigN).reshape(-1)
+    nodes = state["nodes"].reshape(-1).at[flat_cur].set(base.reshape(-1), mode="drop").reshape(B, N)
+    zeroK = jnp.zeros((B * K,), jnp.int32)
+    in_count = state["in_count"].reshape(-1).at[flat_cur].set(zeroK, mode="drop").reshape(B, N)
+    out_count = state["out_count"].reshape(-1).at[flat_cur].set(zeroK, mode="drop").reshape(B, N)
+    al_count = state["al_count"].reshape(-1).at[flat_cur].set(zeroK, mode="drop").reshape(B, N)
+    cov = state["cov"].reshape(-1).at[flat_cur].set(zeroK, mode="drop").reshape(B, N)
+
+    # ---- apply: aligned-clique updates for new aligned nodes ------------
+    amask = new_aligned[:, :, None] & (a_idx < na[:, :, None])  # (B,K,A)
+    aid_c = jnp.clip(al_list, 0, N - 1)
+    aid_counts = jnp.take_along_axis(
+        al_count, aid_c.reshape(B, -1), axis=1
+    ).reshape(B, K, A)
+    flat_app = jnp.where(
+        amask, (b_idx[:, None, None] * N + aid_c) * A + aid_counts, bigNA
+    ).reshape(-1)
+    al = (
+        state["al"].reshape(-1)
+        .at[flat_app]
+        .set(jnp.broadcast_to(cur[:, :, None], (B, K, A)).reshape(-1), mode="drop")
+        .reshape(B, N, A)
+    )
+    al_count = (
+        al_count.reshape(-1)
+        .at[jnp.where(amask, b_idx[:, None, None] * N + aid_c, bigN).reshape(-1)]
+        .add(1, mode="drop")
+        .reshape(B, N)
+    )
+    # cur's own list: gid's pre list + gid
+    flat_own = jnp.where(
+        amask, (b_idx[:, None, None] * N + cur[:, :, None]) * A + a_idx, bigNA
+    ).reshape(-1)
+    al = al.reshape(-1).at[flat_own].set(al_list.reshape(-1), mode="drop").reshape(B, N, A)
+    flat_gid_app = jnp.where(new_aligned, (b_idx[:, None] * N + gid_c) * A + na, bigNA).reshape(-1)
+    al = al.reshape(-1).at[flat_gid_app].set(cur.reshape(-1), mode="drop").reshape(B, N, A)
+    al_count = (
+        al_count.reshape(-1)
+        .at[jnp.where(new_aligned, b_idx[:, None] * N + gid_c, bigN).reshape(-1)]
+        .set((na + 1).reshape(-1), mode="drop")
+        .reshape(B, N)
+    )
+    flat_cur_app = jnp.where(new_aligned, (b_idx[:, None] * N + cur) * A + na, bigNA).reshape(-1)
+    al = al.reshape(-1).at[flat_cur_app].set(gid_c.reshape(-1), mode="drop").reshape(B, N, A)
+    al_count = (
+        al_count.reshape(-1)
+        .at[jnp.where(new_aligned, b_idx[:, None] * N + cur, bigN).reshape(-1)]
+        .set((na + 1).reshape(-1), mode="drop")
+        .reshape(B, N)
+    )
+
+    # ---- apply: edges -----------------------------------------------------
+    # weight bump on the unique existing slot
+    slot = jnp.argmax(exist_mask, axis=2)
+    flat_w = jnp.where(exists, (b_idx[:, None] * N + cur) * E + slot, bigNE).reshape(-1)
+    in_w = (
+        state["in_w"].reshape(-1)
+        .at[flat_w]
+        .add((prev_w + w).reshape(-1), mode="drop")
+        .reshape(B, N, E)
+    )
+    # appends
+    flat_ie = jnp.where(app, (b_idx[:, None] * N + cur) * E + ic_eff, bigNE).reshape(-1)
+    in_edges = state["in_edges"].reshape(-1).at[flat_ie].set(head_c.reshape(-1), mode="drop").reshape(B, N, E)
+    in_w = in_w.reshape(-1).at[flat_ie].set((prev_w + w).reshape(-1), mode="drop").reshape(B, N, E)
+    in_count = (
+        in_count.reshape(-1)
+        .at[jnp.where(app, b_idx[:, None] * N + cur, bigN).reshape(-1)]
+        .set((ic_eff + 1).reshape(-1), mode="drop")
+        .reshape(B, N)
+    )
+    flat_oe = jnp.where(app, (b_idx[:, None] * N + head_c) * E + oc_eff, bigNE).reshape(-1)
+    out_edges = state["out_edges"].reshape(-1).at[flat_oe].set(cur.reshape(-1), mode="drop").reshape(B, N, E)
+    out_count = (
+        out_count.reshape(-1)
+        .at[jnp.where(app, b_idx[:, None] * N + head_c, bigN).reshape(-1)]
+        .set((oc_eff + 1).reshape(-1), mode="drop")
+        .reshape(B, N)
+    )
+
+    # ---- apply: coverage (path nodes are distinct) -----------------------
+    cov = (
+        cov.reshape(-1)
+        .at[jnp.where(valid, b_idx[:, None] * N + cur, bigN).reshape(-1)]
+        .add(1, mode="drop")
+        .reshape(B, N)
+    )
+
+    st = dict(state)
+    st["nodes"] = nodes
+    st["in_edges"] = in_edges
+    st["in_count"] = in_count
+    st["in_w"] = in_w
+    st["out_edges"] = out_edges
+    st["out_count"] = out_count
+    st["al"] = al
+    st["al_count"] = al_count
+    st["cov"] = cov
+    st["node_count"] = node_count
+    st["error"] = err
+
+    # ---- MSA bookkeeping --------------------------------------------------
+    if "seq_next" in st:
+        S = st["seq_next"].shape[2]
+        flat_sn = jnp.where(
+            has_head, (b_idx[:, None] * N + head_c) * S + seq_id, B * N * S
+        ).reshape(-1)
+        st["seq_next"] = (
+            st["seq_next"].reshape(-1).at[flat_sn].set(cur.reshape(-1), mode="drop").reshape(B, N, S)
+        )
+        beg = valid & (ar_w == 0)
+        flat_bg = jnp.where(beg, b_idx[:, None] * S + seq_id, B * S).reshape(-1)
+        st["begin"] = (
+            st["begin"].reshape(-1)
+            .at[flat_bg]
+            .set(cur.reshape(-1), mode="drop")
+            .reshape(B, S)
+        )
+
+    # ---- conflicted windows: exact sequential walk (free when none) ------
+    st = add_alignment_batched_seq(
+        st, ag, ar, aln_len, read, weights, active & conflict, seq_id
     )
     return st
 
@@ -750,6 +1235,42 @@ def consensus_batched(state, active):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("gap", "mismatch", "match", "max_dist", "n_rows"),
+)
+def poa_step_batched(state, read, read_len, weights, active, seq_id,
+                     gap: int, mismatch: int, match: int,
+                     max_dist: int, n_rows: int):
+    """One fused POA iteration: NW align + add-alignment + topological sort
+    (the per-sequence body of generatePOAKernel, cudapoa_kernels.cuh:243-330)
+    in a single dispatch. Windows flagged ``far`` (predecessor beyond the
+    fast kernel's distance window) are left untouched for the caller to
+    re-run via the exact gather path."""
+    N = state["nodes"].shape[1]
+    err = jnp.where(
+        active & (state["node_count"] >= N) & (state["error"] == 0),
+        1,
+        state["error"],
+    )
+    state = dict(state)
+    state["error"] = err
+    act = active & (state["error"] == 0)
+    ag, ar, aln_len, failed, far = nw_batched_fast(
+        state, read, read_len, act,
+        gap=gap, mismatch=mismatch, match=match,
+        max_dist=max_dist, n_rows=n_rows,
+    )
+    act = act & ~far
+    state["error"] = jnp.where(act & failed, 3, state["error"])
+    act = act & (state["error"] == 0)
+    state = add_alignment_batched(state, ag, ar, aln_len, read, weights, act, seq_id)
+    act = act & (state["error"] == 0)
+    # the graph may have grown by up to read_len nodes during add-alignment
+    state = topsort_batched(state, act, n_rows=min(N, n_rows + read.shape[1]))
+    return state, far
+
+
 def build_windows_graphs(
     windows: list[list[str]],
     gap: int = -8,
@@ -804,34 +1325,48 @@ def build_windows_graphs(
         state, seqs_j[:, 0], lens_j[:, 0], wts_j[:, 0], all_active
     )
 
-    scores_buf = jnp.zeros((B, N + 1, L + 1), jnp.int32)
-    codes_buf = jnp.zeros((B, N + 1, L + 1), jnp.int32)
+    scores_buf = codes_buf = None  # lazy: only the far-pred fallback needs them
+    D_FAST = 32  # fast-kernel predecessor-distance window
 
     for s in range(1, S):
-        active = nseqs_j > s
-        if not bool(jnp.any(active)):
+        if not bool((nseqs > s).any()):
             break
-        # node-count guard (kernels.cuh:254-259)
-        err = jnp.where(
-            active & (state["node_count"] >= N) & (state["error"] == 0),
-            1,
-            state["error"],
-        )
-        state = dict(state)
-        state["error"] = err
-        act = active & (state["error"] == 0)
-        ag, ar, aln_len, failed, scores_buf, codes_buf = nw_batched(
-            state, seqs_j[:, s], lens_j[:, s], scores_buf, codes_buf, act,
+        active = nseqs_j > s
+        seq_id = jnp.int32(s) if msa else None
+        # row-count bucket: pad the scan length to a multiple of 128 so the
+        # set of compiled fast-kernel variants stays small
+        max_nc = int(jnp.max(jnp.where(active, state["node_count"], 0)))
+        R = min(N, max(128, ((max_nc + 127) // 128) * 128))
+        state, far_w = poa_step_batched(
+            state, seqs_j[:, s], lens_j[:, s], wts_j[:, s], active, seq_id,
             gap=gap, mismatch=mismatch, match=match,
+            max_dist=D_FAST, n_rows=R,
         )
-        state["error"] = jnp.where(act & failed, 3, state["error"])
-        act = active & (state["error"] == 0)
-        state = add_alignment_batched(
-            state, ag, ar, aln_len, seqs_j[:, s], wts_j[:, s], act,
-            seq_id=jnp.int32(s) if msa else None,
-        )
-        act = active & (state["error"] == 0)
-        state = topsort_batched(state, act)
+        if bool(jnp.any(far_w)):
+            # rare: a predecessor farther than D_FAST rows in topological
+            # order — run those windows through the exact gather-based path
+            if scores_buf is None:
+                scores_buf = jnp.zeros((B, N + 1, L + 1), jnp.float32)
+                codes_buf = jnp.zeros((B, N + 1, L + 1), jnp.int32)
+            err = jnp.where(
+                far_w & (state["node_count"] >= N) & (state["error"] == 0),
+                1,
+                state["error"],
+            )
+            state = dict(state)
+            state["error"] = err
+            act = far_w & (state["error"] == 0)
+            ag, ar, aln_len, failed, scores_buf, codes_buf = nw_batched(
+                state, seqs_j[:, s], lens_j[:, s], scores_buf, codes_buf, act,
+                gap=gap, mismatch=mismatch, match=match,
+            )
+            state["error"] = jnp.where(act & failed, 3, state["error"])
+            act = far_w & (state["error"] == 0)
+            state = add_alignment_batched(
+                state, ag, ar, aln_len, seqs_j[:, s], wts_j[:, s], act, seq_id
+            )
+            act = far_w & (state["error"] == 0)
+            state = topsort_batched(state, act)
     return state, nseqs
 
 
