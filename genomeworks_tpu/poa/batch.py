@@ -264,25 +264,53 @@ class PoaBatch:
 
     # -- compute ---------------------------------------------------------------
     def generate_poa(self) -> None:
-        """Run the lockstep batched POA over all added groups
-        (Batch::generate_poa, cudapoa_batch.cuh:160)."""
+        """Run the batched POA over all added groups (Batch::generate_poa,
+        cudapoa_batch.cuh:160). Consensus-only batches run the per-window
+        Pallas kernel; MSA batches build the full lockstep graph state."""
         if not self._groups:
             raise RuntimeError("generate_poa on empty batch")
         cfg = self.batch_config
-        state, nseqs = jax_poa.build_windows_graphs(
-            self._groups,
-            gap=self.gap_score,
-            mismatch=self.mismatch_score,
-            match=self.match_score,
-            max_nodes=cfg.max_nodes_per_graph,
-            weights=self._weights,
-            msa=bool(self.output_mask & OutputType.msa),
-        )
-        self._state = state
-        self._nseqs = nseqs
-        self._generated = True
         self._consensus_cache = None
         self._msa_cache = None
+        if self.output_mask & OutputType.msa:
+            state, nseqs = jax_poa.build_windows_graphs(
+                self._groups,
+                gap=self.gap_score,
+                mismatch=self.mismatch_score,
+                match=self.match_score,
+                max_nodes=cfg.max_nodes_per_graph,
+                weights=self._weights,
+                msa=True,
+            )
+            self._state = state
+            self._nseqs = nseqs
+        else:
+            cons, cov, status = jax_poa.poa_batch_consensus(
+                self._groups,
+                gap=self.gap_score,
+                mismatch=self.mismatch_score,
+                match=self.match_score,
+                max_nodes=cfg.max_nodes_per_graph,
+                weights=self._weights,
+            )
+            out_c, out_v, out_s = [], [], []
+            for c, v, s in zip(cons, cov, status):
+                if s != 0:
+                    out_c.append("")
+                    out_v.append(np.zeros(0, np.int32))
+                    out_s.append(_JAX_STATUS.get(s, StatusType.generic_error))
+                elif len(c) >= cfg.max_consensus_size:
+                    out_c.append("")
+                    out_v.append(np.zeros(0, np.int32))
+                    out_s.append(StatusType.exceeded_maximum_sequence_size)
+                else:
+                    out_c.append(c)
+                    out_v.append(v)
+                    out_s.append(StatusType.success)
+            self._consensus_cache = (out_c, out_v, out_s)
+            self._state = None
+            self._nseqs = None
+        self._generated = True
 
     def _require_generated(self):
         if not self._generated:
@@ -383,6 +411,17 @@ class PoaBatch:
         """Export each window's POA graph as a DirectedGraph with base
         labels and edge weights (Batch::get_graphs, cudapoa_batch.cuh:315)."""
         self._require_generated()
+        if self._state is None:
+            # consensus ran through the Pallas kernel, which does not export
+            # graph arrays — build the lockstep graph state on demand
+            self._state, self._nseqs = jax_poa.build_windows_graphs(
+                self._groups,
+                gap=self.gap_score,
+                mismatch=self.mismatch_score,
+                match=self.match_score,
+                max_nodes=self.batch_config.max_nodes_per_graph,
+                weights=self._weights,
+            )
         err = np.asarray(self._state["error"])
         node_count = np.asarray(self._state["node_count"])
         nodes = np.asarray(self._state["nodes"])

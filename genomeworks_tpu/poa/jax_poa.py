@@ -1370,6 +1370,65 @@ def build_windows_graphs(
     return state, nseqs
 
 
+def _pack_windows(windows, weights, S, L):
+    B = len(windows)
+    seqs = np.zeros((B, S, L), dtype=np.int32)
+    wts = np.ones((B, S, L), dtype=np.int32)
+    lens = np.zeros((B, S), dtype=np.int32)
+    nseqs = np.zeros(B, dtype=np.int32)
+    for b, w in enumerate(windows):
+        nseqs[b] = len(w)
+        for s, seq in enumerate(w):
+            e = np.frombuffer(seq.encode("latin1"), dtype=np.uint8)
+            seqs[b, s, : len(e)] = e
+            lens[b, s] = len(e)
+            if weights is not None:
+                wts[b, s, : len(e)] = weights[b][s]
+    return seqs, wts, lens, nseqs
+
+
+def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
+                                max_edges, max_alignments, weights):
+    """Consensus via the per-window Pallas kernel (ops/poa_pallas.py) —
+    the fast path on TPU. Shape buckets (S to a multiple of 2, L to a
+    multiple of 64) bound the number of compiled kernel variants."""
+    from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
+
+    Lmax = max(max(len(s) for s in w) for w in windows)
+    Smax = max(len(w) for w in windows)
+    L = ((Lmax + 63) // 64) * 64
+    S = max(2, ((Smax + 1) // 2) * 2)
+    N = max_nodes if max_nodes is not None else 3 * L
+    if N < Lmax:
+        raise ValueError(
+            f"max_nodes={N} is smaller than the longest window sequence "
+            f"({Lmax}); exceeded_maximum_sequence_size"
+        )
+    seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
+    cons, cov, length, err = poa_consensus_pallas(
+        jnp.asarray(seqs), jnp.asarray(wts), jnp.asarray(lens),
+        jnp.asarray(nseqs),
+        S=S, L=L, N=N, E=max_edges, A=max_alignments,
+        gap=gap, mismatch=mismatch, match=match,
+    )
+    cons = np.asarray(cons)
+    cov = np.asarray(cov)
+    length = np.asarray(length)
+    err = np.asarray(err)
+    out_cons, out_cov, out_status = [], [], []
+    for b in range(len(windows)):
+        if err[b] != 0:
+            out_cons.append("")
+            out_cov.append(np.zeros(0, np.int32))
+            out_status.append(int(err[b]))
+        else:
+            k = int(length[b])
+            out_cons.append(bytes(cons[b, :k][::-1].astype(np.uint8)).decode("latin1"))
+            out_cov.append(cov[b, :k][::-1].copy())
+            out_status.append(0)
+    return out_cons, out_cov, out_status
+
+
 def poa_batch_consensus(
     windows: list[list[str]],
     gap: int = -8,
@@ -1379,11 +1438,23 @@ def poa_batch_consensus(
     max_edges: int = MAX_NODE_EDGES,
     max_alignments: int = MAX_NODE_ALIGNMENTS,
     weights: list[list[np.ndarray]] | None = None,
+    use_pallas: bool | None = None,
 ) -> tuple[list[str], list[np.ndarray], list[int]]:
     """Run batched POA consensus over a list of windows (each a list of
     sequences). Returns (consensus list, coverage list, status list —
     0 = success). The lockstep-batch equivalent of Batch::generate_poa +
-    get_consensus (cudapoa_batch.cuh)."""
+    get_consensus (cudapoa_batch.cuh). On TPU the per-window Pallas kernel
+    is used; the XLA lockstep path serves CPU and as fallback."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    Lmax = max(max(len(s) for s in w) for w in windows)
+    # VMEM budget caps the kernel at ~512-base windows (scores+codes
+    # matrices); longer windows take the XLA path
+    if use_pallas and Lmax <= 512 and max_edges <= 128 and max_alignments <= 128:
+        return _poa_batch_consensus_pallas(
+            windows, gap, mismatch, match, max_nodes, max_edges,
+            max_alignments, weights,
+        )
     state, _ = build_windows_graphs(
         windows, gap, mismatch, match, max_nodes, max_edges, max_alignments,
         weights,

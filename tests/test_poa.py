@@ -103,6 +103,42 @@ def test_jax_msa_matches_numpy_reference():
             assert row.replace("-", "") == s
 
 
+def test_pallas_kernel_matches_reference():
+    """The per-window Pallas kernel must be bit-equal to the CPU reference
+    (it is the TPU fast path of poa_batch_consensus)."""
+    import jax
+
+    interpret = jax.default_backend() == "cpu"
+    from genomeworks_tpu.poa.jax_poa import _poa_batch_consensus_pallas
+
+    rng = np.random.default_rng(42)
+    windows = []
+    for _ in range(6):
+        truth = generate_random_genome(int(rng.integers(40, 120)), rng)
+        n = int(rng.integers(1, 8))
+        windows.append([truth] + [mutate_sequence(truth, rng, 0.08, 0.08) for _ in range(n)])
+    windows.append(["ACGTACGT"])
+    if interpret:
+        windows = windows[:3]  # interpreter is slow
+        from genomeworks_tpu.ops import poa_pallas as pp
+        import functools as ft
+        orig = pp.poa_consensus_pallas
+        pp.poa_consensus_pallas = ft.partial(orig, interpret=True)
+        try:
+            cons, cov, st = _poa_batch_consensus_pallas(
+                windows, -8, -6, 8, None, 50, 50, None)
+        finally:
+            pp.poa_consensus_pallas = orig
+    else:
+        cons, cov, st = _poa_batch_consensus_pallas(
+            windows, -8, -6, 8, None, 50, 50, None)
+    for b, w in enumerate(windows):
+        rc, rv = poa_consensus(w)
+        assert st[b] == 0
+        assert cons[b] == rc, f"window {b}"
+        np.testing.assert_array_equal(cov[b], rv)
+
+
 def test_jax_window_batch_masking():
     # windows of very different sequence counts in one batch must not
     # interfere (lockstep masking)
