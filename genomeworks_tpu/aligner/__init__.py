@@ -21,3 +21,7 @@ from genomeworks_tpu.aligner.cpu_reference import (
     nw_score_matrix,
     nw_backtrace,
 )
+from genomeworks_tpu.aligner.myers import (
+    myers_edit_distance_cpu,
+    myers_edit_distance_batched,
+)
