@@ -20,3 +20,13 @@ from genomeworks_tpu.core.bucketing import (
     bucket_by_length,
     Bucket,
 )
+from genomeworks_tpu.core.logging import (
+    LogLevel,
+    initialize_logger,
+    log_critical,
+    log_error,
+    log_warn,
+    log_info,
+    log_debug,
+)
+from genomeworks_tpu.core.graph import Graph, DirectedGraph, UndirectedGraph
