@@ -88,15 +88,16 @@ def _poa_kernel(
     al,           # VMEM (N, A) i32
     scores,       # VMEM (N + 1, Lp) f32
     codes,        # VMEM (N + 1, Lp) i32
-    aln,          # VMEM (K, 128) i32 — lane F_AG / F_AR
+    aln,          # VMEM (KR, 128) i32 — 64 walk entries per row, lanes
+                  # (k%64)*2 + {F_AG, F_AR}
     sm,           # SMEM (8,) i32 scalars: 0 node_count, 1 err
     *,
     S: int, L: int, N: int, E: int, A: int, C: int, Lp: int,
     gap: int, mismatch: int, match: int,
 ):
     K = N + L
-    HORIZ = 2 * E
-    BIGP = 3 * E + 1
+    HORIZ = 2 * E        # must stay < 128: codes live in an int8 matrix
+    BIGP = 2 * E + 1
     fNEG = jnp.float32(NEG)
 
     ns = nseqs_ref[0, 0, 0]
@@ -129,7 +130,8 @@ def _poa_kernel(
         ref[pl.ds(nid, 1), :] = jnp.where(lane == e, val, row)
 
     def aget(k, f):
-        return jnp.sum(aln[pl.ds(k, 1), f : f + 1])
+        row = aln[pl.ds(k // 64, 1), :]
+        return jnp.sum(jnp.where(lane_f == (k % 64) * 2 + f, row, 0))
 
     # ---------------- backbone (cudapoa_kernels.cuh:200-238) -------------
     seq0_col = seqs_c_ref[0, :, 0:1]  # (L, 1)
@@ -275,9 +277,11 @@ def _poa_kernel(
                 prev_j = jnp.where(is_horiz | is_diag, j - 1, j)
                 ag_v = jnp.where(prev_i == i, -1, nid)
                 ar_v = jnp.where(prev_j == j, -1, j - 1)
-                arow = aln[pl.ds(k, 1), :]
-                aln[pl.ds(k, 1), :] = jnp.where(
-                    lane_f == F_AG, ag_v, jnp.where(lane_f == F_AR, ar_v, arow)
+                arow = aln[pl.ds(k // 64, 1), :]
+                l0 = (k % 64) * 2
+                aln[pl.ds(k // 64, 1), :] = jnp.where(
+                    lane_f == l0 + F_AG, ag_v,
+                    jnp.where(lane_f == l0 + F_AR, ar_v, arow),
                 )
                 return prev_i, prev_j, k + 1, steps + 1
 
@@ -630,7 +634,7 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
             pltpu.VMEM((N, A), jnp.int32),         # al
             pltpu.VMEM((N + 1, Lp), jnp.float32),  # scores
             pltpu.VMEM((N + 1, Lp), jnp.int32),    # codes
-            pltpu.VMEM((K, 128), jnp.int32),       # aln
+            pltpu.VMEM(((K + 63) // 64, 128), jnp.int32),  # aln (packed)
             pltpu.SMEM((8,), jnp.int32),           # scalars
         ],
     )
