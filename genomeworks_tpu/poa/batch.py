@@ -123,7 +123,7 @@ def _align_up(x: int, to: int) -> int:
 
 CELLS_PER_THREAD = 4  # cudapoa_structs.cuh CUDAPOA_CELLS_PER_THREAD
 MIN_BAND_WIDTH = 128  # cudapoa_structs.cuh CUDAPOA_MIN_BAND_WIDTH
-BANDED_MATRIX_RIGHT_PADDING = 2  # cudapoa_structs.cuh
+BANDED_MATRIX_RIGHT_PADDING = 8  # cudapoa_structs.cuh (CELLS_PER_THREAD * 2)
 
 
 @dataclasses.dataclass
@@ -201,8 +201,15 @@ class PoaBatch:
         mismatch_score: int = -6,
         match_score: int = 8,
         max_poas: int | None = None,
+        strict_banded: bool = False,
     ) -> None:
+        """``strict_banded``: when the config selects a banded mode, run the
+        exact banded-NW chain (cudapoa_nw_banded.cuh semantics, host path).
+        By default banded modes are treated as a performance hint and run
+        through the full-band TPU kernel — banding exists to fit GPU
+        memory/occupancy, and full band is at least as accurate."""
         global _next_batch_id
+        self.strict_banded = strict_banded
         self.batch_config = batch_config or BatchConfig()
         self.output_mask = OutputType(output_mask)
         self.gap_score = gap_score
@@ -272,6 +279,9 @@ class PoaBatch:
         cfg = self.batch_config
         self._consensus_cache = None
         self._msa_cache = None
+        if self.strict_banded and cfg.band_mode != BandMode.full_band:
+            self._generate_banded_strict()
+            return
         if self.output_mask & OutputType.msa:
             state, nseqs = jax_poa.build_windows_graphs(
                 self._groups,
@@ -310,6 +320,61 @@ class PoaBatch:
             self._consensus_cache = (out_c, out_v, out_s)
             self._state = None
             self._nseqs = None
+        self._generated = True
+
+    def _generate_banded_strict(self) -> None:
+        """Exact banded-NW chain per window (cudapoa_nw_banded.cuh +
+        rerun protocol) — host path, bit-faithful banded semantics."""
+        from genomeworks_tpu.poa.cpu_reference import PoaError, poa_consensus, poa_msa
+
+        cfg = self.batch_config
+        mode = {
+            BandMode.static_band: "static_band",
+            BandMode.adaptive_band: "adaptive_band",
+            BandMode.static_band_traceback: "static_band",
+            BandMode.adaptive_band_traceback: "adaptive_band",
+        }[cfg.band_mode]
+        kw = dict(
+            gap=self.gap_score, mismatch=self.mismatch_score,
+            match=self.match_score, max_nodes=cfg.max_nodes_per_graph,
+            band_mode=mode, band_width=cfg.alignment_band_width,
+        )
+        _ERR = {
+            "node_count_exceeded_maximum_graph_size": StatusType.node_count_exceeded_maximum_graph_size,
+            "edge_count_exceeded_maximum_graph_size": StatusType.edge_count_exceeded_maximum_graph_size,
+            "exceeded_adaptive_banded_matrix_size": StatusType.exceeded_adaptive_banded_matrix_size,
+            "loop_count_exceeded_upper_bound": StatusType.loop_count_exceeded_upper_bound,
+        }
+        want_cons = bool(self.output_mask & OutputType.consensus)
+        want_msa = bool(self.output_mask & OutputType.msa)
+        out_c, out_v, out_s = [], [], []
+        out_m, out_ms = [], []
+        for g_i, seqs in enumerate(self._groups):
+            w = self._weights[g_i]
+            try:
+                if want_cons:
+                    c, v = poa_consensus(seqs, w, **kw)
+                    out_c.append(c)
+                    out_v.append(v)
+                    out_s.append(StatusType.success)
+                if want_msa:
+                    out_m.append(poa_msa(seqs, w, **kw))
+                    out_ms.append(StatusType.success)
+            except PoaError as e:
+                st = _ERR.get(str(e), StatusType.generic_error)
+                if want_cons:
+                    out_c.append("")
+                    out_v.append(np.zeros(0, np.int32))
+                    out_s.append(st)
+                if want_msa:
+                    out_m.append([])
+                    out_ms.append(st)
+        if want_cons:
+            self._consensus_cache = (out_c, out_v, out_s)
+        if want_msa:
+            self._msa_cache = (out_m, out_ms)
+        self._state = None
+        self._nseqs = None
         self._generated = True
 
     def _require_generated(self):

@@ -422,10 +422,14 @@ def poa_msa(
     mismatch: int = -6,
     match: int = 8,
     max_nodes: int | None = None,
+    band_mode: str = "full_band",
+    band_width: int = 256,
 ) -> list[str]:
     """Full window POA returning the multiple sequence alignment (the
     OutputType::msa path of Batch::generate_poa + get_msa)."""
-    g = _build_window_graph(seqs, weights, gap, mismatch, match, max_nodes)
+    g = _build_window_graph(
+        seqs, weights, gap, mismatch, match, max_nodes, band_mode, band_width
+    )
     return generate_msa(g, len(seqs))
 
 
@@ -436,7 +440,13 @@ def _build_window_graph(
     mismatch: int,
     match: int,
     max_nodes: int | None,
+    band_mode: str = "full_band",
+    band_width: int = 256,
 ) -> PoaGraph:
+    """band_mode in {"full_band", "static_band", "adaptive_band"} — banded
+    modes run the exact port of cudapoa_nw_banded.cuh incl. the adaptive
+    band-shift rerun protocol (the *_traceback modes share the banded
+    scoring semantics)."""
     if not seqs:
         raise ValueError("empty window")
     enc = [np.frombuffer(s.encode("latin1"), dtype=np.uint8) for s in seqs]
@@ -449,7 +459,20 @@ def _build_window_graph(
     for s in range(1, len(enc)):
         if g.node_count >= g.max_nodes:
             raise PoaError("node_count_exceeded_maximum_graph_size")
-        ag, ar = nw_align(g, enc[s], gap, mismatch, match)
+        if band_mode == "full_band":
+            ag, ar = nw_align(g, enc[s], gap, mismatch, match)
+        else:
+            from genomeworks_tpu.poa import banded
+
+            r = banded.nw_align_banded_with_rerun(
+                g, enc[s], gap, mismatch, match, band_width,
+                adaptive=band_mode.startswith("adaptive"),
+            )
+            if isinstance(r, int):
+                if r == banded.ADAPTIVE_STORAGE_FAILED:
+                    raise PoaError("exceeded_adaptive_banded_matrix_size")
+                raise PoaError("loop_count_exceeded_upper_bound")
+            ag, ar = r
         add_alignment(g, ag, ar, enc[s], weights[s], seq_id=s)
         topological_sort(g)
     return g
@@ -558,9 +581,13 @@ def poa_consensus(
     mismatch: int = -6,
     match: int = 8,
     max_nodes: int | None = None,
+    band_mode: str = "full_band",
+    band_width: int = 256,
 ) -> tuple[str, np.ndarray]:
     """Full window POA: backbone + iterative align/add/sort + consensus.
     Returns (consensus string, per-base coverage). max_nodes defaults to
     3 * max sequence size (BatchConfig ctor, batch.cu)."""
-    g = _build_window_graph(seqs, weights, gap, mismatch, match, max_nodes)
+    g = _build_window_graph(
+        seqs, weights, gap, mismatch, match, max_nodes, band_mode, band_width
+    )
     return generate_consensus(g)

@@ -52,6 +52,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--match", type=int, default=8)
     p.add_argument("-n", "--mismatch", type=int, default=-6)
     p.add_argument("-g", "--gap", type=int, default=-8)
+    p.add_argument(
+        "--strict-banded", action="store_true",
+        help="run banded modes with exact cudapoa banded-NW semantics "
+        "(host path) instead of treating them as a performance hint for "
+        "the full-band TPU kernel",
+    )
     return p
 
 
@@ -97,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         batch = PoaBatch(
             cfg, output_mask,
             gap_score=args.gap, mismatch_score=args.mismatch,
-            match_score=args.match,
+            match_score=args.match, strict_banded=args.strict_banded,
         )
         for wid in wids:
             status, _ = batch.add_poa_group(windows[wid])

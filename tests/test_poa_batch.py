@@ -30,7 +30,7 @@ def test_batch_config_derivations():
     assert BatchConfig(band_width=200).alignment_band_width == 256
     # banded matrix dim = band + right padding, 4-aligned (batch.cu:54)
     c2 = BatchConfig(max_sequence_size=512, band_width=128, band_mode=BandMode.static_band)
-    assert c2.matrix_sequence_dimension == 132
+    assert c2.matrix_sequence_dimension == 136  # band + 8 right padding, 4-aligned
     assert c2.max_banded_pred_distance == 256
 
 
