@@ -5,31 +5,25 @@ This is the TPU realization of the reference's generatePOAKernel design
 state near the compute units). XLA's lockstep-batch formulation loses to
 two platform facts measured on v5e: batched per-window row gathers lower
 to one-hot contractions, and scatter updates of graph arrays serialize
-per element. Inside a Pallas program both become addressed VMEM accesses,
-so the whole chain —
+per element. Inside a Pallas program both become addressed loads/stores.
 
-  backbone -> [ NW align -> add-alignment walk -> topological sort ]* ->
-  consensus
-
-runs per window with the NW row sweep lane-parallel on the VPU and the
-graph mutation as short masked vector ops, with zero HBM traffic between
-phases.
-
-Mosaic only allows dynamic indexing on SUBLANES (and scalar load/store
-only in SMEM), which dictates the data layout:
-- all per-node scalar fields live as STATIC LANES of one (N, 128) int32
-  array (``pernode``) indexed by node id / rank on the sublane dim;
-- edge/alignment lists are (N, E<=128) rows, element extraction via lane
-  masks, element update via full-row masked read-modify-write;
-- DP score/code matrices are (N+1, Lp) with the row on the sublane dim;
-- read sequences are passed in both row layout (lane-parallel NW) and
-  column layout (per-position scalar access during the graph walk).
+Memory placement is chosen from measured access latencies:
+- graph state (node fields, edge/alignment lists), topological order, the
+  alignment walk, and the consensus pass are POINTER-CHASING scalar code —
+  they live entirely in SMEM, where a dependent scalar load costs ~3 ns
+  (vs ~44 ns for a dynamic-sublane VMEM load + reduce);
+- the NW score/code matrices are vector data — they live in VMEM, with
+  the row sweep lane-parallel on the VPU and the in-row horizontal
+  closure computed as a logarithmic prefix-max over m = row - j*gap;
+- sequences are passed twice: a VMEM copy feeding the vector NW rows and
+  an SMEM copy for scalar per-base access during the graph walk.
 
 Semantics are bit-identical to genomeworks_tpu.poa.cpu_reference (the
 full_band mode of the reference chain): NW per cudapoa_nw.cuh with the
-reference's traceback re-derivation priority, add-alignment per
-cudapoa_add_alignment.cuh, topological sort per cudapoa_topsort.cuh:46,
-consensus per cudapoa_generate_consensus.cuh.
+reference's traceback re-derivation priority (diagonal < vertical by edge
+order, then horizontal), add-alignment per cudapoa_add_alignment.cuh,
+topological sort per cudapoa_topsort.cuh:46, consensus per
+cudapoa_generate_consensus.cuh.
 
 Error codes in ``err`` match jax_poa's internal codes: 0 ok, 1 node-count
 overflow, 2 edge/alignment-count overflow, 3 NW traceback failure.
@@ -46,24 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 30)
 
-# pernode field lanes
-F_NODE = 0      # base character
-F_INC = 1       # incoming edge count
-F_OUTC = 2      # outgoing edge count
-F_ALC = 3       # aligned-node count
-F_COV = 4       # coverage count
-F_SORT = 5      # sorted_poa (indexed by rank)
-F_POS = 6       # node id -> rank
-F_OCS = 7       # out_count in sorted order (indexed by rank)
-F_LOC = 8       # topsort local counts
-F_CSC = 9       # consensus score
-F_CPR = 10      # consensus predecessor
-NFIELDS = 128
-
-# aln buffer field lanes
-F_AG = 0
-F_AR = 1
-
 
 def _roundup(x, m):
     return ((x + m - 1) // m) * m
@@ -73,96 +49,66 @@ def _poa_kernel(
     # inputs
     nseqs_ref,    # SMEM (1, 1, 1)
     lens_ref,     # SMEM (1, 1, S)
-    seqs_ref,     # VMEM (1, S, L) i32 (row layout)
-    seqs_c_ref,   # VMEM (1, L, S) i32 (column layout)
-    wts_c_ref,    # VMEM (1, L, S) i32 (column layout)
+    seqs_ref,     # VMEM (1, S, L) i32 (vector rows for NW)
+    seqs_s_ref,   # SMEM (1, S, L) i32 (scalar per-base access)
+    wts_s_ref,    # SMEM (1, S, L) i32
     # outputs
-    out_ref,      # VMEM (1, C, 128) i32: lane 0 = consensus (BACKWARD), 1 = coverage
+    cons_ref,     # SMEM (1, 1, C) i32 (BACKWARD order)
+    cov_ref,      # SMEM (1, 1, C) i32
     clen_ref,     # SMEM (1, 1, 1) i32
     err_ref,      # SMEM (1, 1, 1) i32
-    # scratch
-    pernode,      # VMEM (N, 128) i32 — per-node fields (see F_*)
-    in_e,         # VMEM (N, E) i32
-    in_w,         # VMEM (N, E) i32
-    out_e,        # VMEM (N, E) i32
-    al,           # VMEM (N, A) i32
+    # VMEM scratch
     scores,       # VMEM (N + 1, Lp) f32
     codes,        # VMEM (N + 1, Lp) i32
-    aln,          # VMEM (KR, 128) i32 — 64 walk entries per row, lanes
-                  # (k%64)*2 + {F_AG, F_AR}
-    sm,           # SMEM (8,) i32 scalars: 0 node_count, 1 err
+    # SMEM scratch — graph state; index N (node) / N*E (edge) are scrap
+    # slots for branch-free masked writes
+    s_node, s_inc, s_outc, s_alc, s_cov,      # (N + 8,) each
+    s_sort, s_pos, s_ocs, s_loc,              # (N + 8,) each
+    s_csc, s_cpr,                             # (N + 8,) each
+    s_in_e, s_in_w, s_out_e, s_al,            # (N*E + 8,) flat [node*E + e]
+    s_ag, s_ar,                               # (K,) alignment walk buffers
+    sm,                                       # (8,) scalars: 0 node_count, 1 err
     *,
     S: int, L: int, N: int, E: int, A: int, C: int, Lp: int,
     gap: int, mismatch: int, match: int,
 ):
     K = N + L
-    HORIZ = 2 * E        # must stay < 128: codes live in an int8 matrix
+    HORIZ = 2 * E
     BIGP = 2 * E + 1
     fNEG = jnp.float32(NEG)
+    SCRAP = N          # scrap node index
+    ESCRAP = N * E     # scrap edge index
 
     ns = nseqs_ref[0, 0, 0]
     len0 = lens_ref[0, 0, 0]
 
-    lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, NFIELDS), 1)
-    lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1)
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     iota_lp = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    rown = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-    fieldn = jax.lax.broadcasted_iota(jnp.int32, (N, NFIELDS), 1)
-    lane_ne = jax.lax.broadcasted_iota(jnp.int32, (N, E), 1)
-
-    # ---- scalar helpers (Mosaic: dynamic index only on sublanes) --------
-    def pget(f, idx):
-        return jnp.sum(pernode[pl.ds(idx, 1), f : f + 1])
-
-    def pset(f, idx, val):
-        pernode[pl.ds(idx, 1), f : f + 1] = jnp.full((1, 1), val, jnp.int32)
-
-    def eget(ref, nid, e):
-        row = ref[pl.ds(nid, 1), :]
-        lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-        return jnp.sum(jnp.where(lane == e, row, 0))
-
-    def eset(ref, nid, e, val):
-        row = ref[pl.ds(nid, 1), :]
-        lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-        ref[pl.ds(nid, 1), :] = jnp.where(lane == e, val, row)
-
-    def aget(k, f):
-        row = aln[pl.ds(k // 64, 1), :]
-        return jnp.sum(jnp.where(lane_f == (k % 64) * 2 + f, row, 0))
+    slope_f = (jnp.float32(gap) * iota_lp).astype(jnp.float32)
 
     # ---------------- backbone (cudapoa_kernels.cuh:200-238) -------------
-    seq0_col = seqs_c_ref[0, :, 0:1]  # (L, 1)
-    w0_col = wts_c_ref[0, :, 0:1]     # (L, 1)
-    in_graph = rown < len0  # (N, 1)
+    def bb(i, _):
+        s_node[i] = seqs_s_ref[0, 0, i]
+        s_inc[i] = jnp.where(i > 0, 1, 0)
+        s_outc[i] = jnp.where(i < len0 - 1, 1, 0)
+        s_alc[i] = 0
+        s_cov[i] = 1
+        s_sort[i] = i
+        s_pos[i] = i
+        s_ocs[i] = jnp.where(i < len0 - 1, 1, 0)
+        s_in_e[i * E] = i - 1
+        s_out_e[i * E] = i + 1
+        w = wts_s_ref[0, 0, i]
+        wp = wts_s_ref[0, 0, jnp.maximum(i - 1, 0)]
+        s_in_w[i * E] = jnp.where(i > 0, wp + w, w)
+        return 0
 
-    base_col = jnp.pad(seq0_col, ((0, N - L), (0, 0)))
-    w_col = jnp.pad(w0_col, ((0, N - L), (0, 0)))
-    wprev_col = jnp.pad(w0_col, ((1, N - L - 1), (0, 0)))
-
-    pn = jnp.zeros((N, NFIELDS), jnp.int32)
-    pn = jnp.where(fieldn == F_NODE, jnp.where(in_graph, base_col, 0), pn)
-    pn = jnp.where(fieldn == F_INC, jnp.where(in_graph & (rown > 0), 1, 0), pn)
-    pn = jnp.where(fieldn == F_OUTC, jnp.where(rown < len0 - 1, 1, 0), pn)
-    pn = jnp.where(fieldn == F_COV, jnp.where(in_graph, 1, 0), pn)
-    pn = jnp.where(fieldn == F_SORT, rown, pn)
-    pn = jnp.where(fieldn == F_POS, rown, pn)
-    pn = jnp.where(fieldn == F_OCS, jnp.where(rown < len0 - 1, 1, 0), pn)
-    pernode[:, :] = pn
-
-    in_e[:, :] = jnp.where(lane_ne == 0, rown - 1, 0)
-    out_e[:, :] = jnp.where(lane_ne == 0, rown + 1, 0)
-    bw_col = jnp.where(rown == 0, w_col, wprev_col + w_col)
-    in_w[:, :] = jnp.where(lane_ne == 0, bw_col, 0)
+    jax.lax.fori_loop(0, len0, bb, 0)
 
     sm[0] = len0       # node_count
     sm[1] = 0          # err
     err_ref[0, 0, 0] = 0
     clen_ref[0, 0, 0] = 0
-
-    slope_f = (jnp.float32(gap) * iota_lp).astype(jnp.float32)
 
     # ============== per-sequence loop =====================================
     def seq_body(s, _):
@@ -184,17 +130,16 @@ def _poa_kernel(
             scores[0:1, :] = slope_f
 
             def row_body(gp, _):
-                nid = pget(F_SORT, gp)
-                pc = pget(F_INC, nid)
-                gbase = pget(F_NODE, nid)
+                nid = s_sort[gp]
+                pc = s_inc[nid]
+                gbase = s_node[nid]
                 sub = jnp.where(read == gbase, match, mismatch).astype(jnp.float32)
                 subp = jnp.pad(sub, ((0, 0), (0, Lp - L)))
-                in_row = in_e[pl.ds(nid, 1), :]  # (1, E)
 
                 def pred_body(e, carry):
                     val, code, c0val, c0code = carry
-                    pred = jnp.sum(jnp.where(lane_e == e, in_row, 0))
-                    ppos = jnp.where(pc == 0, 0, pget(F_POS, pred) + 1)
+                    pred = s_in_e[nid * E + e]
+                    ppos = jnp.where(pc == 0, 0, s_pos[pred] + 1)
                     prow = scores[pl.ds(ppos, 1), :]  # (1, Lp)
                     diag = jnp.pad(prow, ((0, 0), (1, 0)))[:, :Lp] + jnp.pad(
                         subp, ((0, 0), (1, 0))
@@ -223,15 +168,16 @@ def _poa_kernel(
                 )
                 row = jnp.where(iota_lp == 0, c0val, val)
                 row = jnp.where(iota_lp > rl, fNEG, row)
-                # horizontal closure: prefix max of row[j'] + (j-j')*gap
+                # horizontal closure: prefix max of m = row - j*gap (exact:
+                # scores are small integers in f32)
+                m = row - slope_f
                 sh = 1
                 while sh < Lp:
-                    shifted = jnp.pad(row, ((0, 0), (sh, 0)))[:, :Lp] + jnp.float32(
-                        sh * gap
+                    m = jnp.maximum(
+                        m, jnp.pad(m, ((0, 0), (sh, 0)), constant_values=NEG)[:, :Lp]
                     )
-                    shifted = jnp.where(iota_lp >= sh, shifted, fNEG)
-                    row = jnp.maximum(row, shifted)
                     sh *= 2
+                row = m + slope_f
                 horiz = row == jnp.pad(row, ((0, 0), (1, 0)))[:, :Lp] + jnp.float32(gap)
                 fin = jnp.where(row == val, code, BIGP)
                 fin = jnp.minimum(fin, jnp.where(horiz, HORIZ, BIGP))
@@ -250,8 +196,7 @@ def _poa_kernel(
                 sc = jnp.sum(
                     jnp.where(iota_lp == rl, scores[pl.ds(r + 1, 1), :], 0.0)
                 )
-                is_sink = pget(F_OCS, r) == 0
-                take = is_sink & (b_s < sc)
+                take = (s_ocs[r] == 0) & (b_s < sc)
                 return jnp.where(take, r + 1, b_i), jnp.where(take, sc, b_s)
 
             best, _ = jax.lax.fori_loop(0, nc, best_body, (jnp.int32(0), fNEG))
@@ -269,20 +214,14 @@ def _poa_kernel(
                 is_horiz = cd == HORIZ
                 is_diag = cd < E
                 e = jnp.where(is_horiz, 0, cd % E)
-                nid = pget(F_SORT, jnp.maximum(i - 1, 0))
-                pc = pget(F_INC, nid)
-                pred = eget(in_e, nid, e)
-                pi = jnp.where(pc == 0, 0, pget(F_POS, pred) + 1)
+                nid = s_sort[jnp.maximum(i - 1, 0)]
+                pc = s_inc[nid]
+                pred = s_in_e[nid * E + e]
+                pi = jnp.where(pc == 0, 0, s_pos[pred] + 1)
                 prev_i = jnp.where(is_horiz, i, pi)
                 prev_j = jnp.where(is_horiz | is_diag, j - 1, j)
-                ag_v = jnp.where(prev_i == i, -1, nid)
-                ar_v = jnp.where(prev_j == j, -1, j - 1)
-                arow = aln[pl.ds(k // 64, 1), :]
-                l0 = (k % 64) * 2
-                aln[pl.ds(k // 64, 1), :] = jnp.where(
-                    lane_f == l0 + F_AG, ag_v,
-                    jnp.where(lane_f == l0 + F_AR, ar_v, arow),
-                )
+                s_ag[k] = jnp.where(prev_i == i, -1, nid)
+                s_ar[k] = jnp.where(prev_j == j, -1, j - 1)
                 return prev_i, prev_j, k + 1, steps + 1
 
             i_f, j_f, aln_len, steps = jax.lax.while_loop(
@@ -299,30 +238,26 @@ def _poa_kernel(
                 def add_body(t, carry):
                     head, prev_w = carry
                     p = aln_len - 1 - t
-                    read_pos = aget(p, F_AR)
+                    read_pos = s_ar[p]
 
                     def do(carry):
                         head, prev_w = carry
-                        sc_row = seqs_c_ref[0, pl.ds(read_pos, 1), :]  # (1, S)
-                        base = jnp.sum(jnp.where(lane_s == s, sc_row, 0))
-                        wc_row = wts_c_ref[0, pl.ds(read_pos, 1), :]
-                        w = jnp.sum(jnp.where(lane_s == s, wc_row, 0))
-                        gid = aget(p, F_AG)
+                        base = seqs_s_ref[0, s, read_pos]
+                        w = wts_s_ref[0, s, read_pos]
+                        gid = s_ag[p]
                         gid_c = jnp.maximum(gid, 0)
 
                         def find_aligned(_):
                             def fa(a0, acc):
-                                aid = eget(al, gid_c, a0)
+                                aid = s_al[gid_c * E + a0]
                                 return jnp.where(
-                                    (acc == -1) & (pget(F_NODE, aid) == base),
-                                    aid,
-                                    acc,
+                                    (acc == -1) & (s_node[aid] == base), aid, acc
                                 )
                             return jax.lax.fori_loop(
-                                0, pget(F_ALC, gid_c), fa, jnp.int32(-1)
+                                0, s_alc[gid_c], fa, jnp.int32(-1)
                             )
 
-                        gnode_base = pget(F_NODE, gid_c)
+                        gnode_base = s_node[gid_c]
                         aligned = jax.lax.cond(
                             (gid != -1) & (gnode_base != base),
                             find_aligned,
@@ -347,27 +282,28 @@ def _poa_kernel(
 
                             @pl.when(sm[1] == 0)
                             def _():
-                                # zero all fields, set base
-                                pernode[pl.ds(cur, 1), :] = jnp.where(
-                                    lane_f == F_NODE, base, 0
-                                )
+                                s_node[cur] = base
+                                s_inc[cur] = 0
+                                s_outc[cur] = 0
+                                s_alc[cur] = 0
+                                s_cov[cur] = 0
 
                                 @pl.when(gid != -1)
                                 def _link():
-                                    na = pget(F_ALC, gid_c)
+                                    na = s_alc[gid_c]
 
                                     def la(a0, _):
-                                        aid = eget(al, gid_c, a0)
-                                        eset(al, aid, pget(F_ALC, aid), cur)
-                                        pset(F_ALC, aid, pget(F_ALC, aid) + 1)
-                                        eset(al, cur, a0, aid)
+                                        aid = s_al[gid_c * E + a0]
+                                        s_al[aid * E + s_alc[aid]] = cur
+                                        s_alc[aid] = s_alc[aid] + 1
+                                        s_al[cur * E + a0] = aid
                                         return 0
 
                                     jax.lax.fori_loop(0, na, la, 0)
-                                    eset(al, gid_c, na, cur)
-                                    pset(F_ALC, gid_c, na + 1)
-                                    eset(al, cur, na, gid_c)
-                                    pset(F_ALC, cur, na + 1)
+                                    s_al[gid_c * E + na] = cur
+                                    s_alc[gid_c] = na + 1
+                                    s_al[cur * E + na] = gid_c
+                                    s_alc[cur] = na + 1
 
                                     @pl.when(na + 1 > A - 1)
                                     def _():
@@ -375,26 +311,28 @@ def _poa_kernel(
 
                         @pl.when((head != -1) & (sm[1] == 0))
                         def _edge():
-                            ic = pget(F_INC, cur)
-                            ie_row = in_e[pl.ds(cur, 1), :]
-                            emask = (lane_e < ic) & (ie_row == head)
-                            exists = jnp.sum(emask.astype(jnp.int32)) > 0
+                            ic = s_inc[cur]
 
-                            @pl.when(exists)
-                            def _bump():
-                                iw_row = in_w[pl.ds(cur, 1), :]
-                                in_w[pl.ds(cur, 1), :] = jnp.where(
-                                    emask, iw_row + prev_w + w, iw_row
+                            def fe(e0, acc):
+                                return jnp.where(
+                                    s_in_e[cur * E + e0] == head, e0, acc
                                 )
 
-                            @pl.when(~exists)
+                            eslot = jax.lax.fori_loop(0, ic, fe, jnp.int32(-1))
+
+                            @pl.when(eslot != -1)
+                            def _bump():
+                                idx = cur * E + jnp.maximum(eslot, 0)
+                                s_in_w[idx] = s_in_w[idx] + prev_w + w
+
+                            @pl.when(eslot == -1)
                             def _append():
-                                oc = pget(F_OUTC, head)
-                                eset(in_e, cur, ic, head)
-                                eset(in_w, cur, ic, prev_w + w)
-                                pset(F_INC, cur, ic + 1)
-                                eset(out_e, head, oc, cur)
-                                pset(F_OUTC, head, oc + 1)
+                                oc = s_outc[head]
+                                s_in_e[cur * E + ic] = head
+                                s_in_w[cur * E + ic] = prev_w + w
+                                s_inc[cur] = ic + 1
+                                s_out_e[head * E + oc] = cur
+                                s_outc[head] = oc + 1
 
                                 @pl.when((oc + 1 >= E) | (ic + 1 >= E))
                                 def _():
@@ -402,7 +340,7 @@ def _poa_kernel(
 
                         @pl.when(sm[1] == 0)
                         def _cov():
-                            pset(F_COV, cur, pget(F_COV, cur) + 1)
+                            s_cov[cur] = s_cov[cur] + 1
 
                         return cur, w
 
@@ -419,43 +357,41 @@ def _poa_kernel(
             @pl.when(sm[1] == 0)
             def _sort():
                 nc2 = sm[0]
-                pernode[:, F_LOC : F_LOC + 1] = pernode[:, F_INC : F_INC + 1]
 
+                def cp(i, _):
+                    s_loc[i] = s_inc[i]
+                    return 0
+
+                jax.lax.fori_loop(0, nc2, cp, 0)
+
+                # branch-free Kahn: non-emitting iterations write to scrap
                 def seed(i, tail):
-                    def emit(tail):
-                        pset(F_SORT, tail, i)
-                        pset(F_POS, i, tail)
-                        return tail + 1
-                    return jax.lax.cond(
-                        pget(F_LOC, i) == 0, emit, lambda t: t, tail
-                    )
+                    emit = s_loc[i] == 0
+                    dst = jnp.where(emit, tail, SCRAP)
+                    s_sort[dst] = i
+                    s_ocs[dst] = s_outc[i]
+                    s_pos[jnp.where(emit, i, SCRAP)] = tail
+                    return tail + emit.astype(jnp.int32)
 
                 tail = jax.lax.fori_loop(0, nc2, seed, jnp.int32(0))
 
                 def expand(i, tail):
-                    node = pget(F_SORT, i)
+                    node = s_sort[i]
 
                     def eb(e0, tail):
-                        out = eget(out_e, node, e0)
-                        lc = pget(F_LOC, out) - 1
-                        pset(F_LOC, out, lc)
+                        out = s_out_e[node * E + e0]
+                        lc = s_loc[out] - 1
+                        s_loc[out] = lc
+                        emit = lc == 0
+                        dst = jnp.where(emit, tail, SCRAP)
+                        s_sort[dst] = out
+                        s_ocs[dst] = s_outc[out]
+                        s_pos[jnp.where(emit, out, SCRAP)] = tail
+                        return tail + emit.astype(jnp.int32)
 
-                        def emit(tail):
-                            pset(F_SORT, tail, out)
-                            pset(F_POS, out, tail)
-                            return tail + 1
-
-                        return jax.lax.cond(lc == 0, emit, lambda t: t, tail)
-
-                    return jax.lax.fori_loop(0, pget(F_OUTC, node), eb, tail)
+                    return jax.lax.fori_loop(0, s_outc[node], eb, tail)
 
                 jax.lax.fori_loop(0, nc2, expand, tail)
-
-                def ocs(i, _):
-                    pset(F_OCS, i, pget(F_OUTC, pget(F_SORT, i)))
-                    return 0
-
-                jax.lax.fori_loop(0, nc2, ocs, 0)
 
         return 0
 
@@ -468,25 +404,25 @@ def _poa_kernel(
 
         def cpass(gp, carry):
             max_id, max_sc = carry
-            nid = pget(F_SORT, gp)
+            nid = s_sort[gp]
 
             def eb(e0, c):
                 sc, p = c
-                ew = eget(in_w, nid, e0)
-                begin = eget(in_e, nid, e0)
+                ew = s_in_w[nid * E + e0]
+                begin = s_in_e[nid * E + e0]
                 take = (sc < ew) | (
                     (sc == ew)
                     & (p != -1)
-                    & (pget(F_CSC, jnp.maximum(p, 0)) <= pget(F_CSC, begin))
+                    & (s_csc[jnp.maximum(p, 0)] <= s_csc[begin])
                 )
                 return jnp.where(take, ew, sc), jnp.where(take, begin, p)
 
             sc, p = jax.lax.fori_loop(
-                0, pget(F_INC, nid), eb, (jnp.int32(-1), jnp.int32(-1))
+                0, s_inc[nid], eb, (jnp.int32(-1), jnp.int32(-1))
             )
-            sc = jnp.where(p != -1, sc + pget(F_CSC, jnp.maximum(p, 0)), sc)
-            pset(F_CSC, nid, sc)
-            pset(F_CPR, nid, p)
+            sc = jnp.where(p != -1, sc + s_csc[jnp.maximum(p, 0)], sc)
+            s_csc[nid] = sc
+            s_cpr[nid] = p
             upd = max_sc <= sc
             return jnp.where(upd, nid, max_id), jnp.where(upd, sc, max_sc)
 
@@ -496,59 +432,55 @@ def _poa_kernel(
 
         def bc_cond(c):
             max_id, loops = c
-            return (pget(F_OUTC, max_id) != 0) & (loops < nc)
+            return (s_outc[max_id] != 0) & (loops < nc)
 
         def bc_body(c):
             max_id, loops = c
-            nid = pget(F_SORT, pget(F_POS, max_id))
+            nid = s_sort[s_pos[max_id]]
 
             def clear_oe(e0, _):
-                out = eget(out_e, nid, e0)
+                out = s_out_e[nid * E + e0]
 
                 def clear_ie(i0, _):
-                    iid = eget(in_e, out, i0)
-
-                    @pl.when(iid != nid)
-                    def _():
-                        pset(F_CSC, iid, -1)
-
+                    iid = s_in_e[out * E + i0]
+                    s_csc[jnp.where(iid != nid, iid, SCRAP)] = -1
                     return 0
 
-                jax.lax.fori_loop(0, pget(F_INC, out), clear_ie, 0)
+                jax.lax.fori_loop(0, s_inc[out], clear_ie, 0)
                 return 0
 
-            jax.lax.fori_loop(0, pget(F_OUTC, nid), clear_oe, 0)
+            jax.lax.fori_loop(0, s_outc[nid], clear_oe, 0)
 
             def rescan(gp, carry):
                 m_id, m_sc = carry
-                node = pget(F_SORT, gp)
+                node = s_sort[gp]
 
                 def eb(e0, c):
                     sc, p = c
-                    begin = eget(in_e, node, e0)
-                    skip = pget(F_CSC, begin) == -1
-                    ew = eget(in_w, node, e0)
+                    begin = s_in_e[node * E + e0]
+                    skip = s_csc[begin] == -1
+                    ew = s_in_w[node * E + e0]
                     take = ~skip & (
                         (sc < ew)
                         | (
                             (sc == ew)
                             & (p != -1)
-                            & (pget(F_CSC, jnp.maximum(p, 0)) <= pget(F_CSC, begin))
+                            & (s_csc[jnp.maximum(p, 0)] <= s_csc[begin])
                         )
                     )
                     return jnp.where(take, ew, sc), jnp.where(take, begin, p)
 
                 sc, p = jax.lax.fori_loop(
-                    0, pget(F_INC, node), eb, (jnp.int32(-1), jnp.int32(-1))
+                    0, s_inc[node], eb, (jnp.int32(-1), jnp.int32(-1))
                 )
-                pset(F_CPR, node, p)
-                sc = jnp.where(p != -1, sc + pget(F_CSC, jnp.maximum(p, 0)), sc)
-                pset(F_CSC, node, sc)
+                s_cpr[node] = p
+                sc = jnp.where(p != -1, sc + s_csc[jnp.maximum(p, 0)], sc)
+                s_csc[node] = sc
                 upd = m_sc <= sc
                 return jnp.where(upd, node, m_id), jnp.where(upd, sc, m_sc)
 
             m_id, _ = jax.lax.fori_loop(
-                pget(F_POS, max_id) + 1, nc, rescan, (jnp.int32(0), jnp.int32(0))
+                s_pos[max_id] + 1, nc, rescan, (jnp.int32(0), jnp.int32(0))
             )
             return m_id, loops + 1
 
@@ -568,14 +500,12 @@ def _poa_kernel(
                 nid, k, done = c
 
                 def cv(a0, acc):
-                    return acc + pget(F_COV, eget(al, nid, a0))
+                    return acc + s_cov[s_al[nid * E + a0]]
 
-                cov = jax.lax.fori_loop(0, pget(F_ALC, nid), cv, pget(F_COV, nid))
-                orow = out_ref[0, pl.ds(k, 1), :]
-                out_ref[0, pl.ds(k, 1), :] = jnp.where(
-                    lane_f == 0, pget(F_NODE, nid), jnp.where(lane_f == 1, cov, orow)
-                )
-                p = pget(F_CPR, nid)
+                cov = jax.lax.fori_loop(0, s_alc[nid], cv, s_cov[nid])
+                cons_ref[0, 0, k] = s_node[nid]
+                cov_ref[0, 0, k] = cov
+                p = s_cpr[nid]
                 return jnp.where(p == -1, nid, p), k + 1, p == -1
 
             nid_f, k_f, _ = jax.lax.while_loop(
@@ -596,7 +526,12 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
                          interpret: bool = False):
     """Run the full POA chain per window. seqs/wts (B, S, L) i32,
     lens (B, S) i32, nseqs (B,) i32. Returns (consensus (B, C) i32 in
-    BACKWARD order, coverage (B, C) i32, lengths (B,), err (B,))."""
+    BACKWARD order, coverage (B, C) i32, lengths (B,), err (B,)).
+
+    Note: alignment lists share the per-node stride E with edge lists
+    (A <= E is required; both are 50 in the reference)."""
+    if A > E:
+        raise ValueError("kernel requires max_alignments <= max_edges")
     B = seqs.shape[0]
     C = N
     Lp = _roundup(L + 1, 128)
@@ -608,9 +543,6 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         gap=gap, mismatch=mismatch, match=match,
     )
 
-    seqs_c = jnp.swapaxes(seqs, 1, 2)  # (B, L, S)
-    wts_c = jnp.swapaxes(wts, 1, 2)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
@@ -618,31 +550,44 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, S, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, L), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, L), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, C, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N, NFIELDS), jnp.int32),   # pernode
-            pltpu.VMEM((N, E), jnp.int32),         # in_e
-            pltpu.VMEM((N, E), jnp.int32),         # in_w
-            pltpu.VMEM((N, E), jnp.int32),         # out_e
-            pltpu.VMEM((N, A), jnp.int32),         # al
             pltpu.VMEM((N + 1, Lp), jnp.float32),  # scores
             pltpu.VMEM((N + 1, Lp), jnp.int32),    # codes
-            pltpu.VMEM(((K + 63) // 64, 128), jnp.int32),  # aln (packed)
-            pltpu.SMEM((8,), jnp.int32),           # scalars
+            pltpu.SMEM((N + 8,), jnp.int32),   # s_node
+            pltpu.SMEM((N + 8,), jnp.int32),   # s_inc
+            pltpu.SMEM((N + 8,), jnp.int32),   # s_outc
+            pltpu.SMEM((N + 8,), jnp.int32),   # s_alc
+            pltpu.SMEM((N + 8,), jnp.int32),   # s_cov
+            pltpu.SMEM((N + 8,), jnp.int32),   # s_sort
+            pltpu.SMEM((N + 8,), jnp.int32),   # s_pos
+            pltpu.SMEM((N + 8,), jnp.int32),   # s_ocs
+            pltpu.SMEM((N + 8,), jnp.int32),   # s_loc
+            pltpu.SMEM((N + 8,), jnp.int32),   # s_csc
+            pltpu.SMEM((N + 8,), jnp.int32),   # s_cpr
+            pltpu.SMEM((N * E + 8,), jnp.int32),  # s_in_e
+            pltpu.SMEM((N * E + 8,), jnp.int32),  # s_in_w
+            pltpu.SMEM((N * E + 8,), jnp.int32),  # s_out_e
+            pltpu.SMEM((N * E + 8,), jnp.int32),  # s_al
+            pltpu.SMEM((K,), jnp.int32),       # s_ag
+            pltpu.SMEM((K,), jnp.int32),       # s_ar
+            pltpu.SMEM((8,), jnp.int32),       # sm
         ],
     )
 
-    out, clen, err = pl.pallas_call(
+    cons, cov, clen, err = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((B, C, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ],
@@ -651,6 +596,6 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
     )(
         nseqs.reshape(B, 1, 1).astype(jnp.int32),
         lens.reshape(B, 1, S).astype(jnp.int32),
-        seqs, seqs_c, wts_c,
+        seqs, seqs, wts,
     )
-    return out[:, :, 0], out[:, :, 1], clen[:, 0, 0], err[:, 0, 0]
+    return cons[:, 0, :], cov[:, 0, :], clen[:, 0, 0], err[:, 0, 0]
