@@ -134,17 +134,28 @@ def _poa_kernel(
                 pc = s_inc[nid]
                 gbase = s_node[nid]
                 sub = jnp.where(read == gbase, match, mismatch).astype(jnp.float32)
-                subp = jnp.pad(sub, ((0, 0), (0, Lp - L)))
+                # shifted profile: sub_sh[j] = sub[j-1] (diag cost at col j)
+                sub_sh = jnp.pad(sub, ((0, 0), (1, Lp - L - 1)))
 
-                def pred_body(e, carry):
-                    val, code, c0val, c0code = carry
+                def pred_cands(e):
                     pred = s_in_e[nid * E + e]
                     ppos = jnp.where(pc == 0, 0, s_pos[pred] + 1)
                     prow = scores[pl.ds(ppos, 1), :]  # (1, Lp)
-                    diag = jnp.pad(prow, ((0, 0), (1, 0)))[:, :Lp] + jnp.pad(
-                        subp, ((0, 0), (1, 0))
-                    )[:, :Lp]
+                    diag = jnp.pad(prow, ((0, 0), (1, 0)))[:, :Lp] + sub_sh
                     vert = prow + jnp.float32(gap)
+                    c0 = jnp.sum(prow[:, 0:1]) + jnp.float32(gap)
+                    return diag, vert, c0
+
+                # predecessor 0 fast path (single-pred rows dominate): codes
+                # prefer diagonal on ties (diag code e < vert code E+e)
+                diag, vert, c0val = pred_cands(0)
+                val = jnp.maximum(diag, vert)
+                code = jnp.where(diag >= vert, 0, E)
+                c0code = jnp.int32(E)
+
+                def pred_body(e, carry):
+                    val, code, c0val, c0code = carry
+                    diag, vert, c0 = pred_cands(e)
                     for cand, cc in ((diag, e), (vert, E + e)):
                         better = cand > val
                         tie = cand == val
@@ -152,7 +163,6 @@ def _poa_kernel(
                             better, cc, jnp.where(tie, jnp.minimum(code, cc), code)
                         )
                         val = jnp.maximum(val, cand)
-                    c0 = jnp.sum(prow[:, 0:1]) + jnp.float32(gap)
                     c0code = jnp.where(
                         c0 > c0val, E + e,
                         jnp.where(c0 == c0val, jnp.minimum(c0code, E + e), c0code),
@@ -160,11 +170,8 @@ def _poa_kernel(
                     c0val = jnp.maximum(c0val, c0)
                     return val, code, c0val, c0code
 
-                val0 = jnp.full((1, Lp), fNEG, jnp.float32)
-                code0 = jnp.full((1, Lp), BIGP, jnp.int32)
                 val, code, c0val, c0code = jax.lax.fori_loop(
-                    0, jnp.maximum(pc, 1), pred_body,
-                    (val0, code0, fNEG, jnp.int32(BIGP)),
+                    1, jnp.maximum(pc, 1), pred_body, (val, code, c0val, c0code)
                 )
                 row = jnp.where(iota_lp == 0, c0val, val)
                 row = jnp.where(iota_lp > rl, fNEG, row)
