@@ -57,21 +57,32 @@ def _poa_kernel(
     cov_ref,      # SMEM (1, 1, C) i32
     clen_ref,     # SMEM (1, 1, 1) i32
     err_ref,      # SMEM (1, 1, 1) i32
-    # VMEM scratch
-    scores,       # VMEM (N + 1, Lp) f32
-    codes,        # VMEM (N + 1, Lp) i32
-    # SMEM scratch — graph state; index N (node) / N*E (edge) are scrap
-    # slots for branch-free masked writes
-    s_node, s_inc, s_outc, s_alc, s_cov,      # (N + 8,) each
-    s_sort, s_pos, s_ocs, s_loc,              # (N + 8,) each
-    s_csc, s_cpr,                             # (N + 8,) each
-    s_in_e, s_in_w, s_out_e, s_al,            # (N*E + 8,) flat [node*E + e]
-    s_ag, s_ar,                               # (K,) alignment walk buffers
-    sm,                                       # (8,) scalars: 0 node_count, 1 err
-    *,
+    *rest,        # MSA=True: msa_ref SMEM (1, S, C), mlen_ref SMEM (1,1,1),
+                  # then scratch; MSA=False: scratch only
+    # (scratch order: scores, codes VMEM; then SMEM graph state s_node,
+    # s_inc, s_outc, s_alc, s_cov, s_sort, s_pos, s_ocs, s_loc, s_csc,
+    # s_cpr, s_in_e, s_in_w, s_out_e, s_al, s_ag, s_ar, sm[, s_next (N*S),
+    # s_begin (S,), s_mark (N+8,), s_chk (N+8,), s_stack (2N,), s_col
+    # (N+8,) when MSA])
     S: int, L: int, N: int, E: int, A: int, C: int, Lp: int,
-    gap: int, mismatch: int, match: int,
+    gap: int, mismatch: int, match: int, MSA: bool = False,
 ):
+    if MSA:
+        (msa_ref, mlen_ref,
+         scores, codes,
+         s_node, s_inc, s_outc, s_alc, s_cov,
+         s_sort, s_pos, s_ocs, s_loc,
+         s_csc, s_cpr,
+         s_in_e, s_in_w, s_out_e, s_al,
+         s_ag, s_ar, sm,
+         s_next, s_begin, s_mark, s_chk, s_stack, s_col) = rest
+    else:
+        (scores, codes,
+         s_node, s_inc, s_outc, s_alc, s_cov,
+         s_sort, s_pos, s_ocs, s_loc,
+         s_csc, s_cpr,
+         s_in_e, s_in_w, s_out_e, s_al,
+         s_ag, s_ar, sm) = rest
     K = N + L
     HORIZ = 2 * E
     BIGP = 2 * E + 1
@@ -104,6 +115,24 @@ def _poa_kernel(
         return 0
 
     jax.lax.fori_loop(0, len0, bb, 0)
+
+    if MSA:
+        # successor map: a sequence covers each node at most once, so the
+        # covered out-edge is unique — s_next[node*S + s] replaces the
+        # reference's per-edge coverage lists (cudapoa_add_alignment.cuh
+        # :239-272) at 1/E the memory
+        def ini_next(i, _):
+            s_next[i] = -1
+            return 0
+
+        jax.lax.fori_loop(0, N * S, ini_next, 0)
+
+        def bb_next(i, _):
+            s_next[i * S] = jnp.where(i < len0 - 1, i + 1, -1)
+            return 0
+
+        jax.lax.fori_loop(0, len0, bb_next, 0)
+        s_begin[0] = 0
 
     sm[0] = len0       # node_count
     sm[1] = 0          # err
@@ -349,6 +378,14 @@ def _poa_kernel(
                         def _cov():
                             s_cov[cur] = s_cov[cur] + 1
 
+                        if MSA:
+                            @pl.when(sm[1] == 0)
+                            def _msa_track():
+                                s_next[
+                                    jnp.where(head != -1, head, SCRAP) * S + s
+                                ] = cur
+                                s_begin[jnp.where(read_pos == 0, s, S)] = cur
+
                         return cur, w
 
                     return jax.lax.cond(
@@ -520,20 +557,125 @@ def _poa_kernel(
             )
             clen_ref[0, 0, 0] = k_f
 
+    if MSA:
+        STK = 2 * N + 8
+
+        @pl.when(sm[1] == 0)
+        def _msa():
+            nc = sm[0]
+            nseq = ns
+
+            def ini(i, _):
+                s_mark[i] = 0
+                s_chk[i] = 1
+                return 0
+
+            jax.lax.fori_loop(0, nc, ini, 0)
+
+            # racon/SPOA-exact DFS ordering fused with the column map
+            # (cudapoa_topsort.cuh:104 + cudapoa_generate_msa.cuh:35)
+            def outer(i, col):
+                def run(col):
+                    s_stack[0] = i
+
+                    def wc(c):
+                        return c[0] >= 0
+
+                    def wb(c):
+                        top, col = c
+                        nid = s_stack[top]
+                        done = s_mark[nid] == 2
+
+                        def pp(e0, t2):
+                            b = s_in_e[nid * E + e0]
+                            push = (s_mark[b] != 2) & ~done
+                            s_stack[jnp.where(push, t2 + 1, STK - 1)] = b
+                            return t2 + push.astype(jnp.int32)
+
+                        top2 = jax.lax.fori_loop(0, s_inc[nid], pp, top)
+                        chk = s_chk[nid] == 1
+
+                        def pa(a0, t2):
+                            aid = s_al[nid * E + a0]
+                            push = (s_mark[aid] != 2) & ~done & chk
+                            s_stack[jnp.where(push, t2 + 1, STK - 1)] = aid
+                            s_chk[jnp.where(push, aid, SCRAP)] = 0
+                            return t2 + push.astype(jnp.int32)
+
+                        top3 = jax.lax.fori_loop(0, s_alc[nid], pa, top2)
+                        valid = done | (top3 == top)
+                        emit = valid & ~done
+                        s_mark[jnp.where(emit, nid, SCRAP)] = 2
+                        s_mark[jnp.where((~valid) & (~done), nid, SCRAP)] = 1
+                        emitc = emit & chk
+                        s_col[jnp.where(emitc, nid, SCRAP)] = col
+
+                        def ec(a0, _):
+                            aid = s_al[nid * E + a0]
+                            s_col[jnp.where(emitc, aid, SCRAP)] = col
+                            return 0
+
+                        jax.lax.fori_loop(0, s_alc[nid], ec, 0)
+                        col = col + emitc.astype(jnp.int32)
+                        top_new = jnp.where(valid, top - 1, top3)
+                        return top_new, col
+
+                    top_f, col = jax.lax.while_loop(wc, wb, (jnp.int32(0), col))
+                    return col
+
+                return jax.lax.cond(s_mark[i] == 0, run, lambda c: c, col)
+
+            msa_len = jax.lax.fori_loop(0, nc, outer, jnp.int32(0))
+            mlen_ref[0, 0, 0] = msa_len
+
+            # per-sequence gapped rows (generateMSADevice,
+            # cudapoa_generate_msa.cuh:56): prefill '-', then walk the
+            # successor chain writing bases at the node columns
+            def prefill(t, _):
+                msa_ref[0, t // C, t % C] = 45  # '-'
+                return 0
+
+            jax.lax.fori_loop(0, S * C, prefill, 0)
+
+            def emit_seq(sq, _):
+                @pl.when(sq < nseq)
+                def _():
+                    def wc(c):
+                        nid, steps = c
+                        return (nid != -1) & (steps < N + 2)
+
+                    def wb(c):
+                        nid, steps = c
+                        msa_ref[0, sq, s_col[nid]] = s_node[nid]
+                        return s_next[nid * S + sq], steps + 1
+
+                    jax.lax.while_loop(wc, wb, (s_begin[sq], jnp.int32(0)))
+
+                return 0
+
+            jax.lax.fori_loop(0, S, emit_seq, 0)
+
+        @pl.when(sm[1] != 0)
+        def _msa_err():
+            mlen_ref[0, 0, 0] = 0
+
     err_ref[0, 0, 0] = sm[1]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "L", "N", "E", "A", "gap", "mismatch", "match", "interpret"),
+    static_argnames=(
+        "S", "L", "N", "E", "A", "gap", "mismatch", "match", "interpret", "msa"
+    ),
 )
 def poa_consensus_pallas(seqs, wts, lens, nseqs,
                          S: int, L: int, N: int, E: int, A: int,
                          gap: int = -8, mismatch: int = -6, match: int = 8,
-                         interpret: bool = False):
+                         interpret: bool = False, msa: bool = False):
     """Run the full POA chain per window. seqs/wts (B, S, L) i32,
     lens (B, S) i32, nseqs (B,) i32. Returns (consensus (B, C) i32 in
-    BACKWARD order, coverage (B, C) i32, lengths (B,), err (B,)).
+    BACKWARD order, coverage (B, C) i32, lengths (B,), err (B,)) and, when
+    ``msa``, additionally (msa (B, S, C) i32 gapped rows, msa_len (B,)).
 
     Note: alignment lists share the per-node stride E with edge lists
     (A <= E is required; both are 50 in the reference)."""
@@ -547,7 +689,7 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
     kernel = functools.partial(
         _poa_kernel,
         S=S, L=L, N=N, E=E, A=A, C=C, Lp=Lp,
-        gap=gap, mismatch=mismatch, match=match,
+        gap=gap, mismatch=mismatch, match=match, MSA=msa,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -565,7 +707,10 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
             pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-        ],
+        ] + ([
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ] if msa else []),
         scratch_shapes=[
             pltpu.VMEM((N + 1, Lp), jnp.float32),  # scores
             pltpu.VMEM((N + 1, Lp), jnp.int32),    # codes
@@ -587,17 +732,27 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
             pltpu.SMEM((K,), jnp.int32),       # s_ag
             pltpu.SMEM((K,), jnp.int32),       # s_ar
             pltpu.SMEM((8,), jnp.int32),       # sm
-        ],
+        ] + ([
+            pltpu.SMEM((N * S + 8,), jnp.int32),   # s_next
+            pltpu.SMEM((S + 8,), jnp.int32),       # s_begin
+            pltpu.SMEM((N + 8,), jnp.int32),       # s_mark
+            pltpu.SMEM((N + 8,), jnp.int32),       # s_chk
+            pltpu.SMEM((2 * N + 8,), jnp.int32),   # s_stack
+            pltpu.SMEM((N + 8,), jnp.int32),       # s_col
+        ] if msa else []),
     )
 
-    cons, cov, clen, err = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, C), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, C), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-        ],
+        ] + ([
+            jax.ShapeDtypeStruct((B, S, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ] if msa else []),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
@@ -605,4 +760,8 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         lens.reshape(B, 1, S).astype(jnp.int32),
         seqs, seqs, wts,
     )
-    return cons[:, 0, :], cov[:, 0, :], clen[:, 0, 0], err[:, 0, 0]
+    cons, cov, clen, err = out[:4]
+    base = (cons[:, 0, :], cov[:, 0, :], clen[:, 0, 0], err[:, 0, 0])
+    if msa:
+        return base + (out[4], out[5][:, 0, 0])
+    return base

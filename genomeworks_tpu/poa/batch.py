@@ -283,6 +283,50 @@ class PoaBatch:
             self._generate_banded_strict()
             return
         if self.output_mask & OutputType.msa:
+            import jax
+
+            Lmax = max(max(len(s) for s in g) for g in self._groups)
+            if jax.default_backend() != "cpu" and Lmax <= 512:
+                # per-window Pallas kernel computes MSA (and consensus if
+                # also requested) without materializing lockstep state
+                msa, status = jax_poa.poa_batch_msa(
+                    self._groups,
+                    gap=self.gap_score,
+                    mismatch=self.mismatch_score,
+                    match=self.match_score,
+                    max_nodes=cfg.max_nodes_per_graph,
+                    weights=self._weights,
+                )
+                out_m, out_ms = [], []
+                for m, st in zip(msa, status):
+                    if st != 0:
+                        out_m.append([])
+                        out_ms.append(_JAX_STATUS.get(st, StatusType.generic_error))
+                    elif m and len(m[0]) >= cfg.max_consensus_size:
+                        out_m.append([])
+                        out_ms.append(StatusType.exceeded_maximum_sequence_size)
+                    else:
+                        out_m.append(m)
+                        out_ms.append(StatusType.success)
+                self._msa_cache = (out_m, out_ms)
+                if self.output_mask & OutputType.consensus:
+                    cons, cov, cst = jax_poa.poa_batch_consensus(
+                        self._groups,
+                        gap=self.gap_score,
+                        mismatch=self.mismatch_score,
+                        match=self.match_score,
+                        max_nodes=cfg.max_nodes_per_graph,
+                        weights=self._weights,
+                    )
+                    self._consensus_cache = (
+                        cons,
+                        cov,
+                        [_JAX_STATUS.get(s, StatusType.generic_error) for s in cst],
+                    )
+                self._state = None
+                self._nseqs = None
+                self._generated = True
+                return
             state, nseqs = jax_poa.build_windows_graphs(
                 self._groups,
                 gap=self.gap_score,

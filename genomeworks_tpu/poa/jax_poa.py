@@ -1525,6 +1525,47 @@ def _racon_sort_host(n, in_edges, in_count, al, al_count):
     return node_to_col, col
 
 
+def _poa_batch_msa_pallas(windows, gap, mismatch, match, max_nodes,
+                          max_edges, max_alignments, weights):
+    """MSA via the per-window Pallas kernel (racon sort + column map +
+    emission all in-kernel)."""
+    from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
+
+    Lmax = max(max(len(s) for s in w) for w in windows)
+    Smax = max(len(w) for w in windows)
+    L = ((Lmax + 63) // 64) * 64
+    S = max(2, ((Smax + 1) // 2) * 2)
+    N = max_nodes if max_nodes is not None else 3 * L
+    if N < Lmax:
+        raise ValueError(
+            f"max_nodes={N} is smaller than the longest window sequence "
+            f"({Lmax}); exceeded_maximum_sequence_size"
+        )
+    seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
+    cons, cov, length, err, msa, mlen = poa_consensus_pallas(
+        jnp.asarray(seqs), jnp.asarray(wts), jnp.asarray(lens),
+        jnp.asarray(nseqs),
+        S=S, L=L, N=N, E=max_edges, A=max_alignments,
+        gap=gap, mismatch=mismatch, match=match, msa=True,
+    )
+    msa = np.asarray(msa)
+    mlen = np.asarray(mlen)
+    err = np.asarray(err)
+    out_msa, out_status = [], []
+    for b, w in enumerate(windows):
+        if err[b] != 0:
+            out_msa.append([])
+            out_status.append(int(err[b]))
+            continue
+        k = int(mlen[b])
+        out_msa.append(
+            [bytes(msa[b, s, :k].astype(np.uint8)).decode("latin1")
+             for s in range(len(w))]
+        )
+        out_status.append(0)
+    return out_msa, out_status
+
+
 def poa_batch_msa(
     windows: list[list[str]],
     gap: int = -8,
@@ -1534,12 +1575,23 @@ def poa_batch_msa(
     max_edges: int = MAX_NODE_EDGES,
     max_alignments: int = MAX_NODE_ALIGNMENTS,
     weights: list[list[np.ndarray]] | None = None,
+    use_pallas: bool | None = None,
 ) -> tuple[list[list[str]], list[int]]:
     """Batched multiple-sequence-alignment output (the OutputType::msa path
-    of Batch::generate_poa + get_msa). The graph build runs on device; the
-    column mapping + per-sequence emission (pure pointer chasing, zero
-    FLOPs) runs on host from a single device->host state copy, like the
-    reference's D2H of multiple_sequence_alignments_d."""
+    of Batch::generate_poa + get_msa). On TPU the per-window Pallas kernel
+    handles the whole chain; on CPU the graph build runs via the XLA path
+    and the column mapping + per-sequence emission (pure pointer chasing,
+    zero FLOPs) runs on host from a single device->host state copy, like
+    the reference's D2H of multiple_sequence_alignments_d."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    Lmax = max(max(len(s) for s in w) for w in windows)
+    if (use_pallas and Lmax <= 512 and max_edges <= 128
+            and max_alignments <= max_edges):
+        return _poa_batch_msa_pallas(
+            windows, gap, mismatch, match, max_nodes, max_edges,
+            max_alignments, weights,
+        )
     state, nseqs = build_windows_graphs(
         windows, gap, mismatch, match, max_nodes, max_edges, max_alignments,
         weights, msa=True,
