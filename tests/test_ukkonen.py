@@ -1,0 +1,43 @@
+"""Ukkonen banded aligner tests — mirrors the reference's strategy of
+checking GPU/banded outputs against the NW oracle on random cases
+(Test_NeedlemanWunschImplementation.cpp, cudaaligner_test_cases.cpp)."""
+
+import numpy as np
+
+from genomeworks_tpu.aligner.cpu_reference import edit_distance_cpu
+from genomeworks_tpu.aligner.ukkonen import ukkonen_cpu, ukkonen_edit_distance_cpu
+from genomeworks_tpu.simulators.genomesim import generate_random_genome, mutate_sequence
+
+
+def test_ukkonen_matches_nw_oracle():
+    rng = np.random.default_rng(8)
+    for i in range(20):
+        q = generate_random_genome(int(rng.integers(5, 150)), rng)
+        t = (
+            mutate_sequence(q, rng, 0.08, 0.08)
+            if i % 2
+            else generate_random_genome(int(rng.integers(5, 150)), rng)
+        )
+        d = edit_distance_cpu(q, t)
+        assert ukkonen_edit_distance_cpu(q, t, p=max(16, d)) == d
+
+
+def test_ukkonen_path_consumes_both_sequences():
+    st = ukkonen_cpu("ACGTACGT", "ACGAACG", 8)
+    assert int(np.count_nonzero(st != 2)) == 8  # query consumed
+    assert int(np.count_nonzero(st != 3)) == 7  # target consumed
+
+
+def test_ukkonen_empty_edges():
+    assert list(ukkonen_cpu("", "ACG")) == [2, 2, 2]
+    assert list(ukkonen_cpu("ACG", "")) == [3, 3, 3]
+
+
+def test_ukkonen_narrow_band_is_band_limited():
+    # with a tiny band the result may exceed the true distance but is
+    # still a valid alignment path
+    q = "A" * 30 + "C" * 30
+    t = "A" * 30 + "G" * 10 + "C" * 30
+    st = ukkonen_cpu(q, t, p=2)
+    assert int(np.count_nonzero(st != 2)) == len(q)
+    assert int(np.count_nonzero(st != 3)) == len(t)
