@@ -15,3 +15,19 @@ from genomeworks_tpu.mapper.pipeline import (
     overlaps_to_paf,
     group_reads_into_index_ranges,
 )
+from genomeworks_tpu.mapper.batcher import (
+    IndexDescriptor,
+    IndexBatch,
+    BatchOfIndices,
+    group_reads_into_indices,
+    group_into_batches,
+    generate_batches_of_indices,
+)
+from genomeworks_tpu.mapper.overlapper import (
+    filter_overlaps,
+    rescue_overlap_ends,
+)
+from genomeworks_tpu.mapper.kmers import (
+    split_into_kmers,
+    sequence_jaccard_similarity,
+)
