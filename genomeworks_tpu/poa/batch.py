@@ -285,8 +285,11 @@ class PoaBatch:
         if self.output_mask & OutputType.msa:
             import jax
 
-            Lmax = max(max(len(s) for s in g) for g in self._groups)
-            if jax.default_backend() != "cpu" and Lmax <= 512:
+            fits = jax_poa._pallas_poa_plan(
+                self._groups, cfg.max_nodes_per_graph,
+                MAX_NODE_EDGES, MAX_NODE_ALIGNMENTS, True,
+            )
+            if jax.default_backend() != "cpu" and fits is not None:
                 # per-window Pallas kernel computes MSA (and consensus if
                 # also requested) without materializing lockstep state
                 msa, status = jax_poa.poa_batch_msa(

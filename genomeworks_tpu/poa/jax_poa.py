@@ -1387,6 +1387,31 @@ def _pack_windows(windows, weights, S, L):
     return seqs, wts, lens, nseqs
 
 
+
+def _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, msa):
+    """Shape plan + feasibility for the per-window Pallas kernel. Returns
+    (S, L, N) or None when the workload exceeds the kernel's SMEM/VMEM
+    budget (graph state lives in SMEM, capped at 1 MB/core on v5e)."""
+    Lmax = max(max(len(s) for s in w) for w in windows)
+    Smax = max(len(w) for w in windows)
+    L = ((Lmax + 63) // 64) * 64
+    S = max(2, ((Smax + 1) // 2) * 2)
+    # size the graph from the actual windows, bounded by the config cap
+    N = 3 * L if max_nodes is None else min(max_nodes, 3 * L)
+    if N < Lmax or max_edges > 128 or max_alignments > max_edges:
+        return None
+    K = N + L
+    smem_words = 4 * (N * max_edges + 8) + 13 * (N + 8) + 2 * K + 2 * S * L + 64
+    if msa:
+        smem_words += N * S + 8 + S + 8 + 4 * (N + 8) + 2 * N + 8 + S * N
+    if smem_words * 4 > 900_000:  # 1 MB SMEM minus headroom
+        return None
+    Lp = ((L + 1 + 127) // 128) * 128
+    vmem = 2 * (N + 1) * Lp * 4 + S * L * 4
+    if vmem > 14_000_000:
+        return None
+    return S, L, N
+
 def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
                                 max_edges, max_alignments, weights):
     """Consensus via the per-window Pallas kernel (ops/poa_pallas.py) —
@@ -1394,16 +1419,7 @@ def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
     multiple of 64) bound the number of compiled kernel variants."""
     from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
 
-    Lmax = max(max(len(s) for s in w) for w in windows)
-    Smax = max(len(w) for w in windows)
-    L = ((Lmax + 63) // 64) * 64
-    S = max(2, ((Smax + 1) // 2) * 2)
-    N = max_nodes if max_nodes is not None else 3 * L
-    if N < Lmax:
-        raise ValueError(
-            f"max_nodes={N} is smaller than the longest window sequence "
-            f"({Lmax}); exceeded_maximum_sequence_size"
-        )
+    S, L, N = _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, False)
     seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
     cons, cov, length, err = poa_consensus_pallas(
         jnp.asarray(seqs), jnp.asarray(wts), jnp.asarray(lens),
@@ -1447,10 +1463,9 @@ def poa_batch_consensus(
     is used; the XLA lockstep path serves CPU and as fallback."""
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    Lmax = max(max(len(s) for s in w) for w in windows)
-    # VMEM budget caps the kernel at ~512-base windows (scores+codes
-    # matrices); longer windows take the XLA path
-    if use_pallas and Lmax <= 512 and max_edges <= 128 and max_alignments <= 128:
+    if use_pallas and _pallas_poa_plan(
+        windows, max_nodes, max_edges, max_alignments, False
+    ) is not None:
         return _poa_batch_consensus_pallas(
             windows, gap, mismatch, match, max_nodes, max_edges,
             max_alignments, weights,
@@ -1531,16 +1546,7 @@ def _poa_batch_msa_pallas(windows, gap, mismatch, match, max_nodes,
     emission all in-kernel)."""
     from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
 
-    Lmax = max(max(len(s) for s in w) for w in windows)
-    Smax = max(len(w) for w in windows)
-    L = ((Lmax + 63) // 64) * 64
-    S = max(2, ((Smax + 1) // 2) * 2)
-    N = max_nodes if max_nodes is not None else 3 * L
-    if N < Lmax:
-        raise ValueError(
-            f"max_nodes={N} is smaller than the longest window sequence "
-            f"({Lmax}); exceeded_maximum_sequence_size"
-        )
+    S, L, N = _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, True)
     seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
     cons, cov, length, err, msa, mlen = poa_consensus_pallas(
         jnp.asarray(seqs), jnp.asarray(wts), jnp.asarray(lens),
@@ -1585,9 +1591,9 @@ def poa_batch_msa(
     the reference's D2H of multiple_sequence_alignments_d."""
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    Lmax = max(max(len(s) for s in w) for w in windows)
-    if (use_pallas and Lmax <= 512 and max_edges <= 128
-            and max_alignments <= max_edges):
+    if use_pallas and _pallas_poa_plan(
+        windows, max_nodes, max_edges, max_alignments, True
+    ) is not None:
         return _poa_batch_msa_pallas(
             windows, gap, mismatch, match, max_nodes, max_edges,
             max_alignments, weights,
