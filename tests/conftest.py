@@ -15,12 +15,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Persistent compilation cache: recompiles across test runs are the dominant
-# cost on the 1-core host.
+# NOTE: no persistent compilation cache here — Mosaic custom-call payloads
+# are not reliably part of the cache key on this stack, and a stale cached
+# kernel binary surfaces as "TPU backend error (Internal)" at runtime after
+# kernel code changes. Kernel compiles are ~2 s, so caching buys little.
 import jax
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/gw_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REFERENCE_DIR = "/root/reference"
 
