@@ -32,6 +32,7 @@ overflow, 2 edge/alignment-count overflow, 3 NW traceback failure.
 from __future__ import annotations
 
 import functools
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 30)
+
+# Source-version tag baked into the kernel program: the persistent XLA
+# compilation cache does not key on the Mosaic custom-call payload, so two
+# versions of this file can otherwise collide on one cache entry (the stale
+# binary crashes with "TPU backend error (Internal)"). Embedding the tag in
+# the kernel body forces a distinct cache key per source version.
+with open(__file__, "rb") as _f:
+    _SRC_TAG = zlib.crc32(_f.read()) & 0x7FFFFFFF
 
 
 def _roundup(x, m):
@@ -136,6 +145,7 @@ def _poa_kernel(
 
     sm[0] = len0       # node_count
     sm[1] = 0          # err
+    sm[7] = jnp.int32(_SRC_TAG)  # cache-key versioning (see _SRC_TAG)
     err_ref[0, 0, 0] = 0
     clen_ref[0, 0, 0] = 0
 

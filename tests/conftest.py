@@ -15,11 +15,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# NOTE: no persistent compilation cache here — Mosaic custom-call payloads
-# are not reliably part of the cache key on this stack, and a stale cached
-# kernel binary surfaces as "TPU backend error (Internal)" at runtime after
-# kernel code changes. Kernel compiles are ~2 s, so caching buys little.
+# Persistent compilation cache. Safe for the Pallas kernels because
+# ops/poa_pallas.py bakes a source-version tag into the kernel program
+# (the cache key does not cover Mosaic custom-call payloads by itself —
+# a stale cached kernel binary crashes with "TPU backend error (Internal)").
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/gw_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REFERENCE_DIR = "/root/reference"
 
