@@ -26,3 +26,4 @@ from genomeworks_tpu.aligner.myers import (
     myers_edit_distance_batched,
 )
 from genomeworks_tpu.aligner.ukkonen import ukkonen_cpu, ukkonen_edit_distance_cpu
+from genomeworks_tpu.aligner.aligner import DeviceAlignments

@@ -134,6 +134,11 @@ class Aligner:
     def get_alignments(self) -> list[Alignment]:
         return [r for r in self._results if r is not None]
 
+    def get_device_alignments(self) -> "DeviceAlignments":
+        """RLE CIGAR results as device arrays (reference:
+        Aligner::get_device_alignments returning DeviceAlignmentsPtrs)."""
+        return _alignments_to_device(self.get_alignments())
+
     # -- internals ----------------------------------------------------------
     def _initial_band(self, e: _Entry) -> int:
         diff = abs(len(e.query) - len(e.target))
@@ -203,3 +208,44 @@ class Aligner:
 def create_aligner(max_bandwidth: int = 1024, **kwargs) -> Aligner:
     """Factory (reference: aligner.hpp create_aligner -> banded Myers)."""
     return Aligner(max_bandwidth=max_bandwidth, **kwargs)
+
+
+@dataclasses.dataclass
+class DeviceAlignments:
+    """Device-resident alignment results — the TPU counterpart of the
+    reference's ``DeviceAlignmentsPtrs`` (aligner.hpp:62): run-length
+    encoded CIGAR buffers plus per-alignment metadata (bit 0 = is_optimal,
+    aligner.hpp:67), all as device arrays for zero-copy downstream use."""
+
+    cigar_ops: "jnp.ndarray"          # (total_runs,) int8 AlignmentState codes
+    cigar_runlengths: "jnp.ndarray"   # (total_runs,) int32
+    cigar_offsets: "jnp.ndarray"      # (n_alignments + 1,) int32
+    metadata: "jnp.ndarray"           # (n_alignments,) int32
+
+    def num_alignments(self) -> int:
+        return int(self.cigar_offsets.shape[0]) - 1
+
+
+def _alignments_to_device(alignments: "list[Alignment]") -> DeviceAlignments:
+    ops: list[np.ndarray] = []
+    runs: list[np.ndarray] = []
+    offsets = [0]
+    meta = np.zeros(len(alignments), dtype=np.int32)
+    for i, aln in enumerate(alignments):
+        states = np.asarray(aln.states, dtype=np.int8)
+        if states.size:
+            change = np.nonzero(states[1:] != states[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(states)]))
+            ops.append(states[starts])
+            runs.append((ends - starts).astype(np.int32))
+            offsets.append(offsets[-1] + len(starts))
+        else:
+            offsets.append(offsets[-1])
+        meta[i] = 1 if aln.is_optimal else 0
+    cat = np.concatenate(ops) if ops else np.zeros(0, np.int8)
+    rl = np.concatenate(runs) if runs else np.zeros(0, np.int32)
+    return DeviceAlignments(
+        jnp.asarray(cat), jnp.asarray(rl),
+        jnp.asarray(np.asarray(offsets, dtype=np.int32)), jnp.asarray(meta),
+    )

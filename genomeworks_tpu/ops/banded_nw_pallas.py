@@ -41,6 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from genomeworks_tpu.aligner.banded_nw import INF, band_offset
 
+# cache-key versioning: see ops/poa_pallas.py _SRC_TAG
+import zlib as _zlib
+with open(__file__, "rb") as _f:
+    _SRC_TAG = _zlib.crc32(_f.read()) & 0x7FFFFFFF
+
 ROWS_PER_WORD = 16  # 2-bit codes, 16 rows packed per int32
 R_BLOCK = 128  # rows per grid step
 B_BLOCK = 128  # batch items per grid step
@@ -57,7 +62,7 @@ def _kernel(tlen_ref, dlo_ref, q_ref, win_ref, codes_ref, prev_ref, *, W: int, B
 
     @pl.when(mi == 0)
     def _init():
-        j0 = dlo + k_idx
+        j0 = dlo + k_idx + jnp.int32(_SRC_TAG) * 0  # cache-key versioning
         prev_ref[:, :] = jnp.where((j0 >= 0) & (j0 <= tlen), j0, inf32)
 
     i0 = mi * R

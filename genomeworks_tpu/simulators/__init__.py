@@ -2,6 +2,8 @@
 
 from genomeworks_tpu.simulators.genomesim import (
     generate_random_genome,
+    generate_random_sequence,
+    generate_random_sequences,
     mutate_sequence,
     PoissonGenomeSimulator,
     MarkovGenomeSimulator,

@@ -81,3 +81,52 @@ class MarkovGenomeSimulator:
             state = int(self._rng.choice(4, p=probs[state]))
             out[i] = _BASES[state]
         return out.tobytes().decode("ascii")
+
+
+def generate_random_sequence(
+    backbone: str,
+    rng: np.random.Generator,
+    max_mutations: int,
+    max_insertions: int,
+    max_deletions: int,
+) -> str:
+    """Randomly mutated copy of ``backbone``: up to max_deletions single
+    deletions, max_insertions single insertions, max_mutations
+    substitutions, each applied with probability 1/2 like the reference
+    (common/base/include/.../utils/genomeutils.hpp:45-110)."""
+    if min(max_mutations, max_insertions, max_deletions) < 0:
+        raise ValueError("mutation counts cannot be negative")
+    seq = list(backbone)
+    bases = "ACGT"
+    for _ in range(min(max_deletions, len(seq))):
+        if len(seq) and rng.random() < 0.5:
+            del seq[int(rng.integers(0, len(seq)))]
+    for _ in range(max_insertions):
+        if rng.random() < 0.5:
+            seq.insert(int(rng.integers(0, len(seq) + 1)), bases[int(rng.integers(4))])
+    for _ in range(min(max_mutations, len(seq))):
+        if len(seq) and rng.random() < 0.5:
+            seq[int(rng.integers(0, len(seq)))] = bases[int(rng.integers(4))]
+    return "".join(seq)
+
+
+def generate_random_sequences(
+    backbone: str,
+    n: int,
+    rng: np.random.Generator,
+    max_mutations: int = 1,
+    max_insertions: int = 1,
+    max_deletions: int = 1,
+) -> list[str]:
+    """n random variations of a backbone; the first entry is the backbone
+    itself (genomeutils.hpp:127-141)."""
+    if not backbone:
+        raise ValueError("backbone cannot be empty")
+    sequences = [backbone]
+    for _ in range(n - 1):
+        sequences.append(
+            generate_random_sequence(
+                backbone, rng, max_mutations, max_insertions, max_deletions
+            )
+        )
+    return sequences

@@ -135,3 +135,26 @@ def test_format_alignment():
     assert len(q_row) == len(t_row) == len(pair)
     assert q_row.replace("-", "") == "GATT"
     assert t_row.replace("-", "") == "GAT"
+
+
+def test_device_alignments_rle():
+    from genomeworks_tpu.aligner import create_aligner
+    import numpy as np
+
+    aligner = create_aligner(max_bandwidth=128)
+    aligner.add_alignment("AAAA", "AATA")   # 4M / 2=1X1=
+    aligner.add_alignment("ACG", "ACGT")    # 3M1I
+    aligner.align_all()
+    dev = aligner.get_device_alignments()
+    assert dev.num_alignments() == 2
+    offs = np.asarray(dev.cigar_offsets)
+    ops = np.asarray(dev.cigar_ops)
+    runs = np.asarray(dev.cigar_runlengths)
+    # alignment 0: states (=,=,X,=) -> 3 runs; alignment 1: (=,=,=,I) -> 2
+    a0_ops = ops[offs[0]:offs[1]]
+    a0_runs = runs[offs[0]:offs[1]]
+    assert list(a0_ops) == [0, 1, 0] and list(a0_runs) == [2, 1, 1]
+    a1_ops = ops[offs[1]:offs[2]]
+    a1_runs = runs[offs[1]:offs[2]]
+    assert list(a1_ops) == [0, 2] and list(a1_runs) == [3, 1]
+    assert list(np.asarray(dev.metadata)) == [1, 1]
