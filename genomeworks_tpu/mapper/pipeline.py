@@ -100,20 +100,24 @@ def map_reads(
         target_parser, params.target_index_size_mb * 1_000_000
     )
 
-    def make_index(parser, rng):
-        return build_index(
-            parser,
-            rng[0],
-            rng[1],
-            kmer_size=params.kmer_size,
-            window_size=params.window_size,
-            hash_representations=params.hash_representations,
-            filtering_parameter=filtering,
-        )
+    def make_index(parser):
+        def build(desc):
+            return build_index(
+                parser,
+                desc.first_read,
+                desc.number_of_reads,
+                kmer_size=params.kmer_size,
+                window_size=params.window_size,
+                hash_representations=params.hash_representations,
+                filtering_parameter=filtering,
+            )
+        return build
 
-    # index cache (reference: HostIndexCache/DeviceIndexCache)
-    q_cache: dict[tuple[int, int], Index] = {}
-    t_cache: dict[tuple[int, int], Index] = {}
+    from genomeworks_tpu.mapper.batcher import IndexDescriptor
+    from genomeworks_tpu.mapper.cache import CacheType, HostIndexCache
+
+    q_cache = HostIndexCache(CacheType.query_cache, make_index(query_parser))
+    t_cache = HostIndexCache(CacheType.target_cache, make_index(target_parser))
 
     overlaps_all: list[Overlap] = []
     for q_rng in q_ranges:
@@ -121,15 +125,13 @@ def map_reads(
             # all-to-all symmetry skip (main.cu:226-227)
             if all_to_all and t_rng[0] < q_rng[0]:
                 continue
-            if q_rng not in q_cache:
-                q_cache[q_rng] = make_index(query_parser, q_rng)
+            q_desc = IndexDescriptor(q_rng[0], q_rng[1])
+            t_desc = IndexDescriptor(t_rng[0], t_rng[1])
+            q_index = q_cache.get_index(q_desc)
             if all_to_all and q_rng == t_rng:
-                t_index = q_cache[q_rng]
+                t_index = q_index
             else:
-                if t_rng not in t_cache:
-                    t_cache[t_rng] = make_index(target_parser, t_rng)
-                t_index = t_cache[t_rng]
-            q_index = q_cache[q_rng]
+                t_index = t_cache.get_index(t_desc)
 
             anchors = generate_anchors(q_index, t_index)
             overlaps = get_overlaps(

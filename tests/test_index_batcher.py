@@ -84,3 +84,27 @@ def test_generate_batches_two_level():
     assert {(q, t) for q, t in covered if t >= q} == {
         (q, t) for q in range(8) for t in range(8) if t >= q
     }
+
+
+def test_host_index_cache_lru_and_hits():
+    from genomeworks_tpu.mapper.cache import CacheType, DeviceIndexCache, HostIndexCache
+
+    built = []
+
+    def build(desc):
+        built.append(desc)
+        return f"index-{desc.first_read}"
+
+    cache = HostIndexCache(CacheType.query_cache, build, capacity=2)
+    d = [IndexDescriptor(i, 1) for i in range(3)]
+    cache.generate_content([d[0], d[1]])
+    assert cache.get_index(d[0]) == "index-0"
+    assert cache.hits == 1 and cache.misses == 2
+    # capacity 2: inserting d2 evicts the LRU (d1, since d0 was just used)
+    cache.get_index(d[2])
+    assert len(cache) == 2
+    cache.get_index(d[1])  # rebuilt -> a new miss
+    assert cache.misses == 4
+    dev = DeviceIndexCache(cache)
+    assert dev.get_index(d[2]) == "index-2"
+    dev.wait_for_data_to_be_ready()
