@@ -16,6 +16,21 @@ def main(argv=None):
     p.add_argument("-k", "--kmer-size", type=int, default=15)
     p.add_argument("-w", "--window-size", type=int, default=10)
     p.add_argument("-i", "--index-size", type=int, default=30, help="MB of bases per index")
+    p.add_argument("-t", "--target-index-size", type=int, default=None,
+                   help="MB of bases per target index (default: --index-size)")
+    p.add_argument("-d", "--num-devices", type=int, default=1,
+                   help="devices to spread batches over (reference: one worker "
+                   "thread per GPU; here a jax.sharding mesh axis)")
+    p.add_argument("-a", "--alignment-engines", type=int, default=0,
+                   help="align overlaps and emit cg:Z CIGARs when > 0 "
+                   "(engine-count itself has no TPU analogue: one batched "
+                   "kernel replaces the reference's aligner threads)")
+    p.add_argument("-Q", "--query-indices-in-host-memory", type=int, default=10,
+                   help="host index-cache capacity (HostIndexCache)")
+    p.add_argument("-C", "--target-indices-in-host-memory", type=int, default=None,
+                   help="target host index-cache capacity (default: -Q)")
+    p.add_argument("-v", "--version", action="version",
+                   version=__import__("genomeworks_tpu").version())
     p.add_argument(
         "-F", "--filtering-parameter", type=float, default=None,
         help="fraction threshold for filtering frequent minimizers "
@@ -27,7 +42,7 @@ def main(argv=None):
     p.add_argument("-b", "--min-bases-per-residue", type=int, default=1000)
     p.add_argument("-z", "--min-overlap-fraction", type=float, default=0.8)
     p.add_argument("-D", "--drop-fused-overlaps", action="store_true")
-    p.add_argument("-a", "--align", action="store_true", help="emit cg:Z CIGARs")
+    p.add_argument("--align", action="store_true", help="emit cg:Z CIGARs")
     p.add_argument(
         "-R", "--rescue-overlap-ends", action="store_true",
         help="extend overlap ends by flanking-sequence similarity",
@@ -43,6 +58,8 @@ def main(argv=None):
     from genomeworks_tpu.mapper import MapperParams, map_reads, overlaps_to_paf, align_overlaps
     from genomeworks_tpu.mapper.overlapper import rescue_overlap_ends
 
+    if args.alignment_engines > 0:
+        args.align = True
     min_len = args.kmer_size + args.window_size - 1
     query_parser = create_fasta_parser(args.query, min_sequence_length=min_len)
     if args.target and args.target != args.query:
@@ -56,7 +73,7 @@ def main(argv=None):
         kmer_size=args.kmer_size,
         window_size=args.window_size,
         index_size_mb=args.index_size,
-        target_index_size_mb=args.index_size,
+        target_index_size_mb=args.target_index_size or args.index_size,
         filtering_parameter=args.filtering_parameter,
         min_residues=args.min_residues,
         min_overlap_len=args.min_overlap_len,
