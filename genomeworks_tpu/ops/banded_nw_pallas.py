@@ -185,6 +185,12 @@ def banded_nw_forward_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((B, MW, W), jnp.int32),
         scratch_shapes=[pltpu.VMEM((B_blk, W), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            # mid-sized launches otherwise get their whole output placed in
+            # scoped VMEM and overflow the default 16MB accounting limit
+            # (observed at B=128, M=512, W=128)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(col(tlen), col(dlo), q32, wins)
 
