@@ -30,3 +30,10 @@ from genomeworks_tpu.core.logging import (
     log_debug,
 )
 from genomeworks_tpu.core.graph import Graph, DirectedGraph, UndirectedGraph
+from genomeworks_tpu.core.device import (
+    DeviceInfo,
+    DeviceRuntimeError,
+    get_device_count,
+    get_devices,
+    get_device_memory_info,
+)
