@@ -50,14 +50,17 @@ def bench_poa_tpu(B=512, S=8, Lb=250, iters=3):
     return B / dt
 
 
-def bench_poa_cpu(B=8, S=8, Lb=250):
+def bench_poa_cpu(B=8, S=8, Lb=250, iters=3):
     from genomeworks_tpu.poa.cpu_reference import poa_consensus
 
     windows = _make_windows(B, S, Lb)
-    t0 = time.perf_counter()
-    for w in windows:
-        poa_consensus(w)
-    return B / (time.perf_counter() - t0)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        for w in windows:
+            poa_consensus(w)
+        times.append(time.perf_counter() - t0)
+    return B / float(np.median(times))
 
 
 def bench_aligner(B=1024, M=2048, N=2048, W=256, iters=5):
