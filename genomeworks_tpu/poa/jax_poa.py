@@ -1390,8 +1390,11 @@ def _pack_windows(windows, weights, S, L):
 
 def _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, msa):
     """Shape plan + feasibility for the per-window Pallas kernel. Returns
-    (S, L, N) or None when the workload exceeds the kernel's SMEM/VMEM
-    budget (graph state lives in SMEM, capped at 1 MB/core on v5e)."""
+    (S, L, N, E_kernel) or None when the workload exceeds the kernel's
+    SMEM/VMEM budget (graph state lives in SMEM, capped at 1 MB/core on
+    v5e). When the full edge cap does not fit, the kernel runs with a
+    reduced in-kernel edge cap — windows overflowing it error out and are
+    re-run exactly through the XLA path by the caller."""
     Lmax = max(max(len(s) for s in w) for w in windows)
     Smax = max(len(w) for w in windows)
     L = ((Lmax + 63) // 64) * 64
@@ -1400,17 +1403,20 @@ def _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, msa):
     N = 3 * L if max_nodes is None else min(max_nodes, 3 * L)
     if N < Lmax or max_edges > 128 or max_alignments > max_edges:
         return None
-    K = N + L
-    smem_words = 4 * (N * max_edges + 8) + 13 * (N + 8) + 2 * K + 2 * S * L + 64
-    if msa:
-        smem_words += N * S + 8 + S + 8 + 4 * (N + 8) + 2 * N + 8 + S * N
-    if smem_words * 4 > 900_000:  # 1 MB SMEM minus headroom
-        return None
     Lp = ((L + 1 + 127) // 128) * 128
     vmem = 2 * (N + 1) * Lp * 4 + S * L * 4
     if vmem > 14_000_000:
         return None
-    return S, L, N
+    K = N + L
+    for E_k in (max_edges, 16):
+        if E_k > max_edges:
+            continue
+        smem_words = 4 * (N * E_k + 8) + 13 * (N + 8) + 2 * K + 2 * S * L + 64
+        if msa:
+            smem_words += N * S + 8 + S + 8 + 4 * (N + 8) + 2 * N + 8 + S * N
+        if smem_words * 4 <= 900_000:  # 1 MB SMEM minus headroom
+            return S, L, N, E_k
+    return None
 
 def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
                                 max_edges, max_alignments, weights):
@@ -1419,12 +1425,14 @@ def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
     multiple of 64) bound the number of compiled kernel variants."""
     from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
 
-    S, L, N = _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, False)
+    S, L, N, E_k = _pallas_poa_plan(
+        windows, max_nodes, max_edges, max_alignments, False
+    )
     seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
     cons, cov, length, err = poa_consensus_pallas(
         jnp.asarray(seqs), jnp.asarray(wts), jnp.asarray(lens),
         jnp.asarray(nseqs),
-        S=S, L=L, N=N, E=max_edges, A=max_alignments,
+        S=S, L=L, N=N, E=E_k, A=min(max_alignments, E_k),
         gap=gap, mismatch=mismatch, match=match,
     )
     cons = np.asarray(cons)
@@ -1432,8 +1440,13 @@ def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
     length = np.asarray(length)
     err = np.asarray(err)
     out_cons, out_cov, out_status = [], [], []
+    redo = []
     for b in range(len(windows)):
         if err[b] != 0:
+            # with a reduced in-kernel edge cap an error may be an
+            # artifact of the cap — re-run through the exact XLA path
+            if E_k < max_edges:
+                redo.append(b)
             out_cons.append("")
             out_cov.append(np.zeros(0, np.int32))
             out_status.append(int(err[b]))
@@ -1442,6 +1455,15 @@ def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
             out_cons.append(bytes(cons[b, :k][::-1].astype(np.uint8)).decode("latin1"))
             out_cov.append(cov[b, :k][::-1].copy())
             out_status.append(0)
+    if redo:
+        r_cons, r_cov, r_st = poa_batch_consensus(
+            [windows[b] for b in redo], gap, mismatch, match, max_nodes,
+            max_edges, max_alignments,
+            [weights[b] for b in redo] if weights else None,
+            use_pallas=False,
+        )
+        for i, b in enumerate(redo):
+            out_cons[b], out_cov[b], out_status[b] = r_cons[i], r_cov[i], r_st[i]
     return out_cons, out_cov, out_status
 
 
@@ -1546,20 +1568,25 @@ def _poa_batch_msa_pallas(windows, gap, mismatch, match, max_nodes,
     emission all in-kernel)."""
     from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
 
-    S, L, N = _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, True)
+    S, L, N, E_k = _pallas_poa_plan(
+        windows, max_nodes, max_edges, max_alignments, True
+    )
     seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
     cons, cov, length, err, msa, mlen = poa_consensus_pallas(
         jnp.asarray(seqs), jnp.asarray(wts), jnp.asarray(lens),
         jnp.asarray(nseqs),
-        S=S, L=L, N=N, E=max_edges, A=max_alignments,
+        S=S, L=L, N=N, E=E_k, A=min(max_alignments, E_k),
         gap=gap, mismatch=mismatch, match=match, msa=True,
     )
     msa = np.asarray(msa)
     mlen = np.asarray(mlen)
     err = np.asarray(err)
     out_msa, out_status = [], []
+    redo = []
     for b, w in enumerate(windows):
         if err[b] != 0:
+            if E_k < max_edges:
+                redo.append(b)
             out_msa.append([])
             out_status.append(int(err[b]))
             continue
@@ -1569,6 +1596,15 @@ def _poa_batch_msa_pallas(windows, gap, mismatch, match, max_nodes,
              for s in range(len(w))]
         )
         out_status.append(0)
+    if redo:
+        r_msa, r_st = poa_batch_msa(
+            [windows[b] for b in redo], gap, mismatch, match, max_nodes,
+            max_edges, max_alignments,
+            [weights[b] for b in redo] if weights else None,
+            use_pallas=False,
+        )
+        for i, b in enumerate(redo):
+            out_msa[b], out_status[b] = r_msa[i], r_st[i]
     return out_msa, out_status
 
 
