@@ -76,5 +76,10 @@ def generate_anchors(query_index: Index, target_index: Index) -> Anchors:
     qpos = query_index.positions_in_reads[q_idx]
     tpos = target_index.positions_in_reads[t_idx]
 
-    order = np.lexsort((tpos, qpos, trid, qrid))
+    # compound-key sort (matcher_gpu.cuh:176 sort by query_read ->
+    # target_read -> query_pos -> target_pos); packing the four u32 keys
+    # into two u64 halves the stable-sort passes on large anchor sets
+    key_hi = (qrid.astype(np.uint64) << np.uint64(32)) | trid.astype(np.uint64)
+    key_lo = (qpos.astype(np.uint64) << np.uint64(32)) | tpos.astype(np.uint64)
+    order = np.lexsort((key_lo, key_hi))
     return Anchors(qrid[order], trid[order], qpos[order], tpos[order])
