@@ -83,3 +83,66 @@ def generate_anchors(query_index: Index, target_index: Index) -> Anchors:
     key_lo = (qpos.astype(np.uint64) << np.uint64(32)) | tpos.astype(np.uint64)
     order = np.lexsort((key_lo, key_hi))
     return Anchors(qrid[order], trid[order], qpos[order], tpos[order])
+
+
+def generate_anchors_device(query_index: Index, target_index: Index) -> Anchors:
+    """Device-side anchor generation: the expansion and the compound-key
+    sort run as XLA ops on the accelerator (the TPU counterpart of
+    MatcherGPU's generate_anchors_dispatcher + CUB sort,
+    matcher_gpu.cuh:176), with only the final anchor arrays copied back.
+    Bit-identical to :func:`generate_anchors`. Note: recompiles per anchor
+    count — production batching should pad totals to buckets."""
+    import jax
+    import jax.numpy as jnp
+
+    q_uniq = query_index.unique_representations
+    t_uniq = target_index.unique_representations
+    q_first = query_index.first_occurrence_of_representations.astype(np.int64)
+    t_first = target_index.first_occurrence_of_representations.astype(np.int64)
+
+    if len(q_uniq) == 0 or len(t_uniq) == 0:
+        z = np.zeros(0, np.uint32)
+        return Anchors(z, z, z, z)
+
+    found = np.searchsorted(t_uniq, q_uniq)
+    found_c = np.clip(found, 0, len(t_uniq) - 1)
+    matched = t_uniq[found_c] == q_uniq
+    found_c[~matched] = 0
+    q_counts = np.diff(q_first)
+    t_counts = np.diff(t_first)
+    n_pairs = np.where(matched, q_counts * t_counts[found_c], 0)
+    starts = np.concatenate([[0], np.cumsum(n_pairs)])
+    total = int(starts[-1])
+    if total == 0:
+        z = np.zeros(0, np.uint32)
+        return Anchors(z, z, z, z)
+
+    @jax.jit
+    def _expand_sort(rep_idx, starts, q_first, t_first_f, n_t, qread, tread, qpos_a, tpos_a):
+        rel = jnp.arange(rep_idx.shape[0], dtype=jnp.int64) - starts[rep_idx]
+        q_idx = q_first[rep_idx] + rel // n_t[rep_idx]
+        t_idx = t_first_f[rep_idx] + rel % n_t[rep_idx]
+        qrid = qread[q_idx]
+        trid = tread[t_idx]
+        qpos = qpos_a[q_idx]
+        tpos = tpos_a[t_idx]
+        # lexicographic sort on the four u32 keys (lax.sort num_keys)
+        qrid, trid, qpos, tpos = jax.lax.sort(
+            (qrid, trid, qpos, tpos), num_keys=4, is_stable=False
+        )
+        return qrid, trid, qpos, tpos
+
+    rep_idx = np.repeat(np.arange(len(q_uniq)), n_pairs)
+    out = _expand_sort(
+        jnp.asarray(rep_idx),
+        jnp.asarray(starts),
+        jnp.asarray(q_first),
+        jnp.asarray(t_first[found_c]),
+        jnp.asarray(t_counts[found_c]),
+        jnp.asarray(query_index.read_ids.astype(np.uint32)),
+        jnp.asarray(target_index.read_ids.astype(np.uint32)),
+        jnp.asarray(query_index.positions_in_reads.astype(np.uint32)),
+        jnp.asarray(target_index.positions_in_reads.astype(np.uint32)),
+    )
+    qrid, trid, qpos, tpos = (np.asarray(x) for x in out)
+    return Anchors(qrid, trid, qpos, tpos)

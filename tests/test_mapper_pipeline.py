@@ -115,3 +115,23 @@ def test_covid_reads_all_to_all():
         assert o.query_end_position_in_read > o.query_start_position_in_read
         assert o.target_end_position_in_read > o.target_start_position_in_read
         assert o.query_read_id != o.target_read_id
+
+
+def test_device_anchors_match_host():
+    import numpy as np
+
+    from genomeworks_tpu.io import create_fasta_parser
+    from genomeworks_tpu.mapper.index import build_index
+    from genomeworks_tpu.mapper.matcher import generate_anchors, generate_anchors_device
+
+    parser = create_fasta_parser(
+        "/root/reference/cudamapper/data/covid-reads.fasta.gz",
+        min_sequence_length=24,
+    )
+    idx = build_index(parser, 0, 50, kmer_size=15, window_size=10,
+                      filtering_parameter=1.0)
+    host = generate_anchors(idx, idx)
+    dev = generate_anchors_device(idx, idx)
+    assert len(host) > 0
+    for f in ("query_read_ids", "target_read_ids", "query_positions", "target_positions"):
+        np.testing.assert_array_equal(getattr(host, f), getattr(dev, f))

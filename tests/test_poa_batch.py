@@ -170,3 +170,33 @@ def test_gw_poa_cli(tmp_path, capsys):
     assert main(["-i", str(p), "-d", str(dot)]) == 0
     capsys.readouterr()
     assert dot.read_text().count("digraph g {") == 2
+
+
+def test_parse_fasta_files_windows(tmp_path):
+    from genomeworks_tpu.poa.windows import parse_fasta_files
+
+    f1 = tmp_path / "a.fa"
+    f1.write_text(">r0\nACGT\n>r1\nGGGG\n")
+    f2 = tmp_path / "b.fa"
+    f2.write_text(">s0\nACGA\n")
+    # window i = i-th read of every input file
+    w = parse_fasta_files([str(f1), str(f2)])
+    assert w == [["ACGT", "ACGA"], ["GGGG"]]
+
+
+def test_gw_poa_cli_fasta_inputs_and_max_groups(tmp_path, capsys):
+    from genomeworks_tpu.tools.gw_poa import main
+    from genomeworks_tpu.poa import poa_consensus
+
+    f1 = tmp_path / "a.fa"
+    f1.write_text(">r0\nACGTACGTAA\n>r1\nTTTTCCCC\n")
+    f2 = tmp_path / "b.fa"
+    f2.write_text(">s0\nACGCACGTAA\n>s1\nTTTTCCCC\n")
+    assert main(["-i", str(f1), "-i", str(f2)]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == poa_consensus(["ACGTACGTAA", "ACGCACGTAA"])[0]
+    assert out[1] == "TTTTCCCC"
+    # -M limits processed windows
+    assert main(["-i", str(f1), "-i", str(f2), "-M", "1"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
