@@ -70,8 +70,10 @@ from genomeworks_tpu.poa.cpu_reference import poa_consensus
 
 
 def test_consensus_weighted_branch_choice():
-    # heavier branch wins: 3x A-path vs 1x T-path at the SNP position
+    # heavier branch wins: 3x G vs 1x T at the SNP position; coverage at
+    # that position still reads 4 because it sums the node plus its
+    # aligned alternatives (generate_consensus coverage semantics)
     seqs = ["ACGTA", "ACTTA", "ACGTA", "ACGTA"]
     consensus, coverage = poa_consensus(seqs)
     assert consensus == "ACGTA"
-    assert list(coverage) == [4, 4, 3, 4, 4]
+    assert [int(x) for x in coverage] == [4, 4, 4, 4, 4]
