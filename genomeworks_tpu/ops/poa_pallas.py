@@ -75,7 +75,11 @@ def _poa_kernel(
     # (N+8,) when MSA])
     S: int, L: int, N: int, E: int, A: int, C: int, Lp: int,
     gap: int, mismatch: int, match: int, MSA: bool = False,
+    PH: int = 0b11111,
 ):
+    # PH: static phase bitmask for perf attribution (experiments/
+    # poa_phase_profile.py). 1=NW, 2=traceback, 4=add, 8=topsort,
+    # 16=consensus. Production always runs 0b11111.
     if MSA:
         (msa_ref, mlen_ref,
          scores, codes,
@@ -166,7 +170,8 @@ def _poa_kernel(
             nc = sm[0]
 
             # ---------------- NW (cudapoa_nw.cuh) -------------------------
-            scores[0:1, :] = slope_f
+            if PH & 1:
+                scores[0:1, :] = slope_f
 
             def row_body(gp, _):
                 nid = s_sort[gp]
@@ -234,7 +239,8 @@ def _poa_kernel(
                 codes[pl.ds(gp + 1, 1), :] = fin
                 return 0
 
-            jax.lax.fori_loop(0, nc, row_body, 0)
+            if PH & 1:
+                jax.lax.fori_loop(0, nc, row_body, 0)
 
             # traceback start: first max at column rl among sink rows
             def best_body(r, carry):
@@ -270,16 +276,19 @@ def _poa_kernel(
                 s_ar[k] = jnp.where(prev_j == j, -1, j - 1)
                 return prev_i, prev_j, k + 1, steps + 1
 
-            i_f, j_f, aln_len, steps = jax.lax.while_loop(
-                tb_cond, tb_body, (best, rl, jnp.int32(0), jnp.int32(0))
-            )
+            if PH & 2:
+                i_f, j_f, aln_len, steps = jax.lax.while_loop(
+                    tb_cond, tb_body, (best, rl, jnp.int32(0), jnp.int32(0))
+                )
 
-            @pl.when((i_f != 0) | (j_f != 0))
-            def _():
-                sm[1] = 3
+                @pl.when((i_f != 0) | (j_f != 0))
+                def _():
+                    sm[1] = 3
+            else:
+                aln_len = jnp.int32(0)
 
             # ------------- add alignment (cudapoa_add_alignment.cuh) ------
-            @pl.when(sm[1] == 0)
+            @pl.when((sm[1] == 0) if PH & 4 else jnp.bool_(False))
             def _add():
                 def add_body(t, carry):
                     head, prev_w = carry
@@ -408,7 +417,7 @@ def _poa_kernel(
                 )
 
             # ------------- topological sort (cudapoa_topsort.cuh:46) ------
-            @pl.when(sm[1] == 0)
+            @pl.when((sm[1] == 0) if PH & 8 else jnp.bool_(False))
             def _sort():
                 nc2 = sm[0]
 
@@ -452,7 +461,7 @@ def _poa_kernel(
     jax.lax.fori_loop(1, S, seq_body, 0)
 
     # =============== consensus (cudapoa_generate_consensus.cuh) ===========
-    @pl.when(sm[1] == 0)
+    @pl.when((sm[1] == 0) if PH & 16 else jnp.bool_(False))
     def _consensus():
         nc = sm[0]
 
@@ -675,13 +684,15 @@ def _poa_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "L", "N", "E", "A", "gap", "mismatch", "match", "interpret", "msa"
+        "S", "L", "N", "E", "A", "gap", "mismatch", "match", "interpret",
+        "msa", "phases",
     ),
 )
 def poa_consensus_pallas(seqs, wts, lens, nseqs,
                          S: int, L: int, N: int, E: int, A: int,
                          gap: int = -8, mismatch: int = -6, match: int = 8,
-                         interpret: bool = False, msa: bool = False):
+                         interpret: bool = False, msa: bool = False,
+                         phases: int = 0b11111):
     """Run the full POA chain per window. seqs/wts (B, S, L) i32,
     lens (B, S) i32, nseqs (B,) i32. Returns (consensus (B, C) i32 in
     BACKWARD order, coverage (B, C) i32, lengths (B,), err (B,)) and, when
@@ -699,7 +710,7 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
     kernel = functools.partial(
         _poa_kernel,
         S=S, L=L, N=N, E=E, A=A, C=C, Lp=Lp,
-        gap=gap, mismatch=mismatch, match=match, MSA=msa,
+        gap=gap, mismatch=mismatch, match=match, MSA=msa, PH=phases,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
