@@ -40,10 +40,11 @@ def run(phases, B=64, S=8, Lb=250, iters=3):
     from genomeworks_tpu.poa.jax_poa import _pack_windows, _pallas_poa_plan
 
     windows = make_windows(B, S, Lb)
-    S_, L, N, E_k = _pallas_poa_plan(windows, None, 50, 50, False)
+    S_, L, N, E_k, G = _pallas_poa_plan(windows, None, 50, 50, False)
     seqs, wts, lens, nseqs = _pack_windows(windows, None, S_, L)
     args = (jnp.asarray(seqs), jnp.asarray(wts), jnp.asarray(lens), jnp.asarray(nseqs))
-    kw = dict(S=S_, L=L, N=N, E=E_k, A=50, phases=phases)
+    kw = dict(S=S_, L=L, N=N, E=E_k, A=min(50, E_k), phases=phases,
+              windows_per_step=G)
     out = pp.poa_consensus_pallas(*args, **kw)
     np.asarray(out[0])
     times = []
@@ -53,7 +54,7 @@ def run(phases, B=64, S=8, Lb=250, iters=3):
         np.asarray(out[0])
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
-    return dt / B * 1e3, (S_, L, N, E_k)
+    return dt / B * 1e3, (S_, L, N, E_k, G)
 
 
 def main():

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: the full POA chain, one window per grid step.
+"""Pallas TPU kernel: the full POA chain, G windows per grid step.
 
 This is the TPU realization of the reference's generatePOAKernel design
 (cudapoa/src/cudapoa_kernels.cuh:78 — one warp per window, graph + DP
@@ -6,6 +6,18 @@ state near the compute units). XLA's lockstep-batch formulation loses to
 two platform facts measured on v5e: batched per-window row gathers lower
 to one-hot contractions, and scatter updates of graph arrays serialize
 per element. Inside a Pallas program both become addressed loads/stores.
+
+v4 fuses G windows into one grid step. Measured motivation (v5e):
+- a vector op on (G, Lp) costs the same as on (1, Lp) for G <= 8 (both
+  occupy the same number of (8, 128) VREG tiles), so the NW row sweep
+  scales ~G x for free;
+- the scalar phases (traceback walk, add-alignment, topological sort)
+  are dependency-latency bound (~8 ns per dependent SMEM load, ~11 ns
+  loop overhead); interleaving G independent windows' chains inside one
+  loop iteration pipelines them.
+All per-window lockstep divergence is handled branchlessly: inactive
+windows write to per-window scrap slots (index N of their own region),
+the same trick the reference's warp-uniform code uses for lane masking.
 
 Memory placement is chosen from measured access latencies:
 - graph state (node fields, edge/alignment lists), topological order, the
@@ -15,6 +27,10 @@ Memory placement is chosen from measured access latencies:
 - the NW score/code matrices are vector data — they live in VMEM, with
   the row sweep lane-parallel on the VPU and the in-row horizontal
   closure computed as a logarithmic prefix-max over m = row - j*gap;
+- the traceback-start finder extracts column rl of the score matrix with
+  one vector reduce per window, then DMAs the column to SMEM so the
+  argmax over sink rows is a 3 ns/load scalar scan (the per-row masked
+  vector reduce it replaces measured ~0.35 ms/window);
 - sequences are passed twice: a VMEM copy feeding the vector NW rows and
   an SMEM copy for scalar per-base access during the graph walk.
 
@@ -27,6 +43,10 @@ cudapoa_generate_consensus.cuh.
 
 Error codes in ``err`` match jax_poa's internal codes: 0 ok, 1 node-count
 overflow, 2 edge/alignment-count overflow, 3 NW traceback failure.
+Windows with nseqs == 0 (grid padding) report err = 1 and are skipped.
+
+MSA mode currently requires G == 1 (the racon-exact DFS is a per-window
+stack walk; fusing it is a planned follow-up).
 """
 
 from __future__ import annotations
@@ -54,152 +74,231 @@ def _roundup(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _maxs(xs):
+    return functools.reduce(jnp.maximum, xs)
+
+
+def _anys(xs):
+    return functools.reduce(jnp.logical_or, xs)
+
+
 def _poa_kernel(
     # inputs
-    nseqs_ref,    # SMEM (1, 1, 1)
-    lens_ref,     # SMEM (1, 1, S)
-    seqs_ref,     # VMEM (1, S, L) i32 (vector rows for NW)
-    seqs_s_ref,   # SMEM (1, S, L) i32 (scalar per-base access)
-    wts_s_ref,    # SMEM (1, S, L) i32
+    nseqs_ref,    # SMEM (G, 1, 1)
+    lens_ref,     # SMEM (G, 1, S)
+    seqs_ref,     # VMEM (G, S, L) i32 (vector rows for NW)
+    seqs_s_ref,   # SMEM (G, S, L) i32 (scalar per-base access)
+    wts_s_ref,    # SMEM (G, S, L) i32
     # outputs
-    cons_ref,     # SMEM (1, 1, C) i32 (BACKWARD order)
-    cov_ref,      # SMEM (1, 1, C) i32
-    clen_ref,     # SMEM (1, 1, 1) i32
-    err_ref,      # SMEM (1, 1, 1) i32
-    *rest,        # MSA=True: msa_ref SMEM (1, S, C), mlen_ref SMEM (1,1,1),
-                  # then scratch; MSA=False: scratch only
-    # (scratch order: scores, codes VMEM; then SMEM graph state s_node,
-    # s_inc, s_outc, s_alc, s_cov, s_sort, s_pos, s_ocs, s_loc, s_csc,
-    # s_cpr, s_in_e, s_in_w, s_out_e, s_al, s_ag, s_ar, sm[, s_next (N*S),
-    # s_begin (S,), s_mark (N+8,), s_chk (N+8,), s_stack (2N,), s_col
-    # (N+8,) when MSA])
+    cons_ref,     # SMEM (G, 1, C) i32 (BACKWARD order)
+    cov_ref,      # SMEM (G, 1, C) i32
+    clen_ref,     # SMEM (G, 1, 1) i32
+    err_ref,      # SMEM (G, 1, 1) i32
+    *rest,        # MSA: msa_ref SMEM (G, S, C), mlen_ref SMEM (G,1,1); then
+                  # scratch (see scratch_shapes order in poa_consensus_pallas)
     S: int, L: int, N: int, E: int, A: int, C: int, Lp: int,
-    gap: int, mismatch: int, match: int, MSA: bool = False,
-    PH: int = 0b11111,
+    gap: int, mismatch: int, match: int, MSA: bool = False, G: int = 1,
+    PH: int = 0b11111, INTERP: bool = False,
 ):
     # PH: static phase bitmask for perf attribution (experiments/
-    # poa_phase_profile.py). 1=NW, 2=traceback, 4=add, 8=topsort,
-    # 16=consensus. Production always runs 0b11111.
+    # poa_phase_profile.py). 1=NW, 2=traceback(+start finder), 4=add,
+    # 8=topsort, 16=consensus. Production always runs 0b11111.
     if MSA:
         (msa_ref, mlen_ref,
-         scores, codes,
+         scores, codes, colv,
          s_node, s_inc, s_outc, s_alc, s_cov,
          s_sort, s_pos, s_ocs, s_loc,
          s_csc, s_cpr,
          s_in_e, s_in_w, s_out_e, s_al,
-         s_ag, s_ar, sm,
+         s_ag, s_ar, sm, s_colv, dma_sem,
          s_next, s_begin, s_mark, s_chk, s_stack, s_col) = rest
     else:
-        (scores, codes,
+        (scores, codes, colv,
          s_node, s_inc, s_outc, s_alc, s_cov,
          s_sort, s_pos, s_ocs, s_loc,
          s_csc, s_cpr,
          s_in_e, s_in_w, s_out_e, s_al,
-         s_ag, s_ar, sm) = rest
+         s_ag, s_ar, sm, s_colv, dma_sem) = rest
     K = N + L
+    KP = K + 8
+    MN = N + 8
+    ME = N * E + 8
+    R1 = N + 1
     HORIZ = 2 * E
     BIGP = 2 * E + 1
     fNEG = jnp.float32(NEG)
-    SCRAP = N          # scrap node index
-    ESCRAP = N * E     # scrap edge index
+    rg = range(G)
 
-    ns = nseqs_ref[0, 0, 0]
-    len0 = lens_ref[0, 0, 0]
+    # per-window region indexers; scrap slot = index N / N*E / KP-1 of the
+    # window's own region (branchless masking, cudapoa warp-uniform style)
+    def nd(g, i):
+        return g * MN + i
+
+    def ed(g, i):
+        return g * ME + i
+
+    def kd(g, i):
+        return g * KP + i
+
+    def cn(x, hi):
+        return jnp.clip(x, 0, hi)
+
+    def sel(ok, idx, scrap):
+        return jnp.where(ok, idx, scrap)
+
+    def vecg(vals, dtype):
+        # (G, 1) vector from G per-window scalars
+        if G == 1:
+            return jnp.full((1, 1), vals[0], dtype)
+        return jnp.concatenate(
+            [jnp.full((1, 1), v, dtype) for v in vals], axis=0
+        )
+
+    nss = [nseqs_ref[g, 0, 0] for g in rg]
+    len0s = [lens_ref[g, 0, 0] for g in rg]
 
     iota_lp = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     slope_f = (jnp.float32(gap) * iota_lp).astype(jnp.float32)
 
     # ---------------- backbone (cudapoa_kernels.cuh:200-238) -------------
+    for g in rg:
+        live = nss[g] > 0
+        sm[g * 8 + 0] = jnp.where(live, len0s[g], 0)
+        sm[g * 8 + 1] = jnp.where(live, 0, 1)  # padded windows: skip all
+        err_ref[g, 0, 0] = jnp.where(live, 0, 1)
+        clen_ref[g, 0, 0] = 0
+    sm[8 * G] = jnp.int32(_SRC_TAG)  # cache-key versioning (see _SRC_TAG)
+
+    max_len0 = _maxs([jnp.where(nss[g] > 0, len0s[g], 0) for g in rg])
+
     def bb(i, _):
-        s_node[i] = seqs_s_ref[0, 0, i]
-        s_inc[i] = jnp.where(i > 0, 1, 0)
-        s_outc[i] = jnp.where(i < len0 - 1, 1, 0)
-        s_alc[i] = 0
-        s_cov[i] = 1
-        s_sort[i] = i
-        s_pos[i] = i
-        s_ocs[i] = jnp.where(i < len0 - 1, 1, 0)
-        s_in_e[i * E] = i - 1
-        s_out_e[i * E] = i + 1
-        w = wts_s_ref[0, 0, i]
-        wp = wts_s_ref[0, 0, jnp.maximum(i - 1, 0)]
-        s_in_w[i * E] = jnp.where(i > 0, wp + w, w)
+        for g in rg:
+            ok = (i < len0s[g]) & (nss[g] > 0)
+            d = sel(ok, i, N)
+            ic = cn(i, L - 1)
+            s_node[nd(g, d)] = seqs_s_ref[g, 0, ic]
+            s_inc[nd(g, d)] = jnp.where(i > 0, 1, 0)
+            s_outc[nd(g, d)] = jnp.where(i < len0s[g] - 1, 1, 0)
+            s_alc[nd(g, d)] = 0
+            s_cov[nd(g, d)] = 1
+            s_sort[nd(g, d)] = i
+            s_pos[nd(g, d)] = i
+            s_ocs[nd(g, d)] = jnp.where(i < len0s[g] - 1, 1, 0)
+            de = sel(ok, i * E, N * E)
+            s_in_e[ed(g, de)] = i - 1
+            s_out_e[ed(g, de)] = i + 1
+            w = wts_s_ref[g, 0, ic]
+            wp = wts_s_ref[g, 0, cn(i - 1, L - 1)]
+            s_in_w[ed(g, de)] = jnp.where(i > 0, wp + w, w)
         return 0
 
-    jax.lax.fori_loop(0, len0, bb, 0)
+    jax.lax.fori_loop(0, max_len0, bb, 0)
 
     if MSA:
         # successor map: a sequence covers each node at most once, so the
         # covered out-edge is unique — s_next[node*S + s] replaces the
         # reference's per-edge coverage lists (cudapoa_add_alignment.cuh
-        # :239-272) at 1/E the memory
-        def ini_next(i, _):
-            s_next[i] = -1
-            return 0
-
-        jax.lax.fori_loop(0, N * S, ini_next, 0)
-
+        # :239-272) at 1/E the memory. Chain ends are written explicitly
+        # (-1), so no O(N*S) prefill is needed.
         def bb_next(i, _):
-            s_next[i * S] = jnp.where(i < len0 - 1, i + 1, -1)
+            s_next[i * S] = jnp.where(i < len0s[0] - 1, i + 1, -1)
             return 0
 
-        jax.lax.fori_loop(0, len0, bb_next, 0)
+        jax.lax.fori_loop(0, len0s[0], bb_next, 0)
         s_begin[0] = 0
-
-    sm[0] = len0       # node_count
-    sm[1] = 0          # err
-    sm[7] = jnp.int32(_SRC_TAG)  # cache-key versioning (see _SRC_TAG)
-    err_ref[0, 0, 0] = 0
-    clen_ref[0, 0, 0] = 0
 
     # ============== per-sequence loop =====================================
     def seq_body(s, _):
-        rl = lens_ref[0, 0, s]
-        read = jnp.where(iota_l < rl, seqs_ref[0, pl.ds(s, 1), :], -1)  # (1, L)
-
-        run = (s < ns) & (sm[1] == 0)
-
+        rls = [lens_ref[g, 0, s] for g in rg]
+        ncs0 = [sm[g * 8 + 0] for g in rg]
+        errs0 = [sm[g * 8 + 1] for g in rg]
         # node-count guard (kernels.cuh:254-259)
-        @pl.when(run & (sm[0] >= N))
-        def _():
-            sm[1] = 1
+        errs = [
+            jnp.where(
+                (s < nss[g]) & (errs0[g] == 0) & (ncs0[g] >= N), 1, errs0[g]
+            )
+            for g in rg
+        ]
+        for g in rg:
+            sm[g * 8 + 1] = errs[g]
+        runs = [(s < nss[g]) & (errs[g] == 0) for g in rg]
+        any_run = _anys(runs)
 
-        @pl.when((s < ns) & (sm[1] == 0))
+        @pl.when(any_run)
         def _process():
-            nc = sm[0]
+            ncs = [jnp.where(runs[g], ncs0[g], 0) for g in rg]
+            max_nc = _maxs(ncs)
+            rl_vec = vecg(rls, jnp.int32)
+            reads = jnp.concatenate(
+                [
+                    jnp.where(iota_l < rls[g], seqs_ref[g, pl.ds(s, 1), :], -1)
+                    for g in rg
+                ],
+                axis=0,
+            ) if G > 1 else jnp.where(
+                iota_l < rls[0], seqs_ref[0, pl.ds(s, 1), :], -1
+            )  # (G, L)
 
             # ---------------- NW (cudapoa_nw.cuh) -------------------------
             if PH & 1:
-                scores[0:1, :] = slope_f
+                for g in rg:
+                    scores[g * R1 : g * R1 + 1, :] = slope_f
 
             def row_body(gp, _):
-                nid = s_sort[gp]
-                pc = s_inc[nid]
-                gbase = s_node[nid]
-                sub = jnp.where(read == gbase, match, mismatch).astype(jnp.float32)
+                acts = [runs[g] & (gp < ncs[g]) for g in rg]
+                nids = [
+                    jnp.where(acts[g], cn(s_sort[nd(g, cn(gp, N - 1))], N - 1), N)
+                    for g in rg
+                ]
+                pcs = [
+                    jnp.where(acts[g], cn(s_inc[nd(g, nids[g])], E), 0)
+                    for g in rg
+                ]
+                gb_vec = vecg([s_node[nd(g, nids[g])] for g in rg], jnp.int32)
+                sub = jnp.where(reads == gb_vec, match, mismatch).astype(
+                    jnp.float32
+                )
                 # shifted profile: sub_sh[j] = sub[j-1] (diag cost at col j)
                 sub_sh = jnp.pad(sub, ((0, 0), (1, Lp - L - 1)))
 
-                def pred_cands(e):
-                    pred = s_in_e[nid * E + e]
-                    ppos = jnp.where(pc == 0, 0, s_pos[pred] + 1)
-                    prow = scores[pl.ds(ppos, 1), :]  # (1, Lp)
-                    diag = jnp.pad(prow, ((0, 0), (1, 0)))[:, :Lp] + sub_sh
-                    vert = prow + jnp.float32(gap)
-                    c0 = jnp.sum(prow[:, 0:1]) + jnp.float32(gap)
-                    return diag, vert, c0
+                def pred_rows(e):
+                    rows = []
+                    for g in rg:
+                        pe = cn(s_in_e[ed(g, nids[g] * E + cn(e, E - 1))], N)
+                        pp = jnp.where(
+                            pcs[g] == 0, 0, cn(s_pos[nd(g, pe)] + 1, N)
+                        )
+                        rows.append(scores[pl.ds(g * R1 + pp, 1), :])
+                    return (
+                        jnp.concatenate(rows, axis=0) if G > 1 else rows[0]
+                    )  # (G, Lp)
 
                 # predecessor 0 fast path (single-pred rows dominate): codes
                 # prefer diagonal on ties (diag code e < vert code E+e)
-                diag, vert, c0val = pred_cands(0)
+                prow = pred_rows(jnp.int32(0))
+                diag = jnp.pad(prow, ((0, 0), (1, 0)))[:, :Lp] + sub_sh
+                vert = prow + jnp.float32(gap)
                 val = jnp.maximum(diag, vert)
                 code = jnp.where(diag >= vert, 0, E)
-                c0code = jnp.int32(E)
+                c0val = prow[:, 0:1] + jnp.float32(gap)
+                c0code = jnp.full((G, 1), E, jnp.int32)
+
+                max_pc = _maxs(pcs)
 
                 def pred_body(e, carry):
                     val, code, c0val, c0code = carry
-                    diag, vert, c0 = pred_cands(e)
+                    # i32 mask: materialized (G,1) bool vectors hit a Mosaic
+                    # vreg-bitcast limitation (i1 -> i32)
+                    me = vecg(
+                        [(e < pcs[g]).astype(jnp.int32) for g in rg], jnp.int32
+                    ) != 0
+                    prow = pred_rows(e)
+                    diag = jnp.where(
+                        me, jnp.pad(prow, ((0, 0), (1, 0)))[:, :Lp] + sub_sh, fNEG
+                    )
+                    vert = jnp.where(me, prow + jnp.float32(gap), fNEG)
+                    c0 = jnp.where(me, prow[:, 0:1] + jnp.float32(gap), fNEG)
                     for cand, cc in ((diag, e), (vert, E + e)):
                         better = cand > val
                         tie = cand == val
@@ -215,10 +314,11 @@ def _poa_kernel(
                     return val, code, c0val, c0code
 
                 val, code, c0val, c0code = jax.lax.fori_loop(
-                    1, jnp.maximum(pc, 1), pred_body, (val, code, c0val, c0code)
+                    1, jnp.maximum(max_pc, 1), pred_body,
+                    (val, code, c0val, c0code),
                 )
                 row = jnp.where(iota_lp == 0, c0val, val)
-                row = jnp.where(iota_lp > rl, fNEG, row)
+                row = jnp.where(iota_lp > rl_vec, fNEG, row)
                 # horizontal closure: prefix max of m = row - j*gap (exact:
                 # scores are small integers in f32)
                 m = row - slope_f
@@ -235,354 +335,514 @@ def _poa_kernel(
                 fin = jnp.where(
                     iota_lp == 0, jnp.where(row == c0val, c0code, BIGP), fin
                 )
-                scores[pl.ds(gp + 1, 1), :] = row
-                codes[pl.ds(gp + 1, 1), :] = fin
+                for g in rg:
+                    scores[pl.ds(g * R1 + gp + 1, 1), :] = row[g : g + 1, :]
+                    codes[pl.ds(g * R1 + gp + 1, 1), :] = fin[g : g + 1, :]
                 return 0
 
             if PH & 1:
-                jax.lax.fori_loop(0, nc, row_body, 0)
-
-            # traceback start: first max at column rl among sink rows
-            def best_body(r, carry):
-                b_i, b_s = carry
-                sc = jnp.sum(
-                    jnp.where(iota_lp == rl, scores[pl.ds(r + 1, 1), :], 0.0)
-                )
-                take = (s_ocs[r] == 0) & (b_s < sc)
-                return jnp.where(take, r + 1, b_i), jnp.where(take, sc, b_s)
-
-            best, _ = jax.lax.fori_loop(0, nc, best_body, (jnp.int32(0), fNEG))
-
-            # traceback walk
-            def tb_cond(c):
-                i, j, k, steps = c
-                return ((i != 0) | (j != 0)) & (steps < K + 2)
-
-            def tb_body(c):
-                i, j, k, steps = c
-                crow = codes[pl.ds(jnp.maximum(i, 0), 1), :]
-                cd = jnp.sum(jnp.where(iota_lp == j, crow, 0))
-                cd = jnp.where(i == 0, HORIZ, cd)
-                is_horiz = cd == HORIZ
-                is_diag = cd < E
-                e = jnp.where(is_horiz, 0, cd % E)
-                nid = s_sort[jnp.maximum(i - 1, 0)]
-                pc = s_inc[nid]
-                pred = s_in_e[nid * E + e]
-                pi = jnp.where(pc == 0, 0, s_pos[pred] + 1)
-                prev_i = jnp.where(is_horiz, i, pi)
-                prev_j = jnp.where(is_horiz | is_diag, j - 1, j)
-                s_ag[k] = jnp.where(prev_i == i, -1, nid)
-                s_ar[k] = jnp.where(prev_j == j, -1, j - 1)
-                return prev_i, prev_j, k + 1, steps + 1
+                jax.lax.fori_loop(0, max_nc, row_body, 0)
 
             if PH & 2:
-                i_f, j_f, aln_len, steps = jax.lax.while_loop(
-                    tb_cond, tb_body, (best, rl, jnp.int32(0), jnp.int32(0))
+                # traceback start: first max at column rl among sink rows.
+                # Column rl is extracted lane-major with one MXU dot per
+                # window (mask . scores^T — exact: small ints in f32), DMA'd
+                # to 1-D SMEM, then scanned scalar (3 ns/load). 1-D buffers:
+                # 2-D (X, 1) SMEM scratch gets lane-padded to (X, 128).
+                for g in rg:
+                    blk = scores[g * R1 : (g + 1) * R1, :]
+                    mask = (iota_lp == rls[g]).astype(jnp.float32)
+                    cv = jax.lax.dot_general(
+                        mask, blk,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, R1) lane-major
+                    colv[pl.ds(g * R1, R1)] = cv[0, :]
+                if not INTERP:
+                    cpy = pltpu.make_async_copy(colv, s_colv, dma_sem)
+                    cpy.start()
+                    cpy.wait()
+
+                def col_at(g, r1):
+                    if INTERP:
+                        return colv[g * R1 + r1]
+                    return s_colv[g * R1 + r1]
+
+                def best_body(r, carry):
+                    bis, bss = carry
+                    nbis, nbss = [], []
+                    for g in rg:
+                        sc = col_at(g, cn(r, N - 1) + 1)
+                        take = (
+                            runs[g]
+                            & (r < ncs[g])
+                            & (s_ocs[nd(g, cn(r, N - 1))] == 0)
+                            & (bss[g] < sc)
+                        )
+                        nbis.append(jnp.where(take, r + 1, bis[g]))
+                        nbss.append(jnp.where(take, sc, bss[g]))
+                    return tuple(nbis), tuple(nbss)
+
+                bests, _ = jax.lax.fori_loop(
+                    0, max_nc, best_body,
+                    (
+                        tuple(jnp.int32(0) for _ in rg),
+                        tuple(fNEG for _ in rg),
+                    ),
                 )
 
-                @pl.when((i_f != 0) | (j_f != 0))
-                def _():
-                    sm[1] = 3
+                # traceback walk (one fused step per iteration; finished
+                # windows freeze their carry)
+                def tb_cond(c):
+                    iis, jjs, kks, steps = c
+                    alive = _anys([(iis[g] != 0) | (jjs[g] != 0) for g in rg])
+                    return alive & (steps < K + 2)
+
+                def tb_body(c):
+                    iis, jjs, kks, steps = c
+                    nis, njs, nks = [], [], []
+                    for g in rg:
+                        i, j, k = iis[g], jjs[g], kks[g]
+                        alive = (i != 0) | (j != 0)
+                        crow = codes[pl.ds(g * R1 + cn(i, N), 1), :]
+                        cd = jnp.sum(jnp.where(iota_lp == j, crow, 0))
+                        cd = jnp.where(alive & (i != 0), cd, HORIZ)
+                        is_horiz = cd == HORIZ
+                        is_diag = cd < E
+                        e = jnp.where(is_horiz, 0, cd % E)
+                        nid = cn(s_sort[nd(g, cn(i - 1, N - 1))], N - 1)
+                        pc = s_inc[nd(g, nid)]
+                        pred = cn(s_in_e[ed(g, nid * E + cn(e, E - 1))], N - 1)
+                        pi = jnp.where(pc == 0, 0, cn(s_pos[nd(g, pred)] + 1, N))
+                        prev_i = jnp.where(is_horiz, i, pi)
+                        prev_j = jnp.where(is_horiz | is_diag, j - 1, j)
+                        dst = kd(g, sel(alive, cn(k, KP - 2), KP - 1))
+                        s_ag[dst] = jnp.where(prev_i == i, -1, nid)
+                        s_ar[dst] = jnp.where(prev_j == j, -1, j - 1)
+                        nis.append(jnp.where(alive, prev_i, i))
+                        njs.append(jnp.where(alive, prev_j, j))
+                        nks.append(k + alive.astype(jnp.int32))
+                    return tuple(nis), tuple(njs), tuple(nks), steps + 1
+
+                ifs, jfs, aln_lens, steps = jax.lax.while_loop(
+                    tb_cond, tb_body,
+                    (
+                        tuple(jnp.where(runs[g], bests[g], 0) for g in rg),
+                        tuple(jnp.where(runs[g], rls[g], 0) for g in rg),
+                        tuple(jnp.int32(0) for _ in rg),
+                        jnp.int32(0),
+                    ),
+                )
+                for g in rg:
+                    sm[g * 8 + 1] = jnp.where(
+                        runs[g] & ((ifs[g] != 0) | (jfs[g] != 0)), 3, errs[g]
+                    )
             else:
-                aln_len = jnp.int32(0)
+                aln_lens = tuple(jnp.int32(0) for _ in rg)
 
             # ------------- add alignment (cudapoa_add_alignment.cuh) ------
-            @pl.when((sm[1] == 0) if PH & 4 else jnp.bool_(False))
-            def _add():
+            if PH & 4:
+                max_aln = _maxs(list(aln_lens))
+
                 def add_body(t, carry):
-                    head, prev_w = carry
-                    p = aln_len - 1 - t
-                    read_pos = s_ar[p]
-
-                    def do(carry):
-                        head, prev_w = carry
-                        base = seqs_s_ref[0, s, read_pos]
-                        w = wts_s_ref[0, s, read_pos]
+                    heads, prev_ws = carry
+                    nheads, nprev = [], []
+                    for g in rg:
+                        head, prev_w = heads[g], prev_ws[g]
+                        err_g = sm[g * 8 + 1]
+                        act = runs[g] & (t < aln_lens[g]) & (err_g == 0)
+                        p = kd(g, cn(aln_lens[g] - 1 - t, KP - 1))
+                        read_pos = s_ar[p]
+                        act2 = act & (read_pos != -1)
+                        rp = cn(read_pos, L - 1)
+                        base = seqs_s_ref[g, s, rp]
+                        w = wts_s_ref[g, s, rp]
                         gid = s_ag[p]
-                        gid_c = jnp.maximum(gid, 0)
+                        gid_c = cn(gid, N - 1)
+                        gnode = s_node[nd(g, gid_c)]
+                        alc_g = cn(s_alc[nd(g, gid_c)], E)
+                        need_fa = act2 & (gid != -1) & (gnode != base)
 
-                        def find_aligned(_):
-                            def fa(a0, acc):
-                                aid = s_al[gid_c * E + a0]
-                                return jnp.where(
-                                    (acc == -1) & (s_node[aid] == base), aid, acc
-                                )
-                            return jax.lax.fori_loop(
-                                0, s_alc[gid_c], fa, jnp.int32(-1)
+                        def fa(a0, acc):
+                            aid = cn(s_al[ed(g, gid_c * E + a0)], N - 1)
+                            return jnp.where(
+                                (acc == -1) & (s_node[nd(g, aid)] == base),
+                                aid, acc,
                             )
 
-                        gnode_base = s_node[gid_c]
-                        aligned = jax.lax.cond(
-                            (gid != -1) & (gnode_base != base),
-                            find_aligned,
-                            lambda _: jnp.int32(-1),
-                            0,
+                        aligned = jax.lax.fori_loop(
+                            0, jnp.where(need_fa, alc_g, 0), fa, jnp.int32(-1)
                         )
-                        reuse_graph = (gid != -1) & (gnode_base == base)
-                        reuse_aligned = (gid != -1) & ~reuse_graph & (aligned != -1)
-                        new_node = ~reuse_graph & ~reuse_aligned
+                        reuse_graph = act2 & (gid != -1) & (gnode == base)
+                        reuse_aligned = (
+                            act2 & (gid != -1) & ~reuse_graph & (aligned != -1)
+                        )
+                        new_node = act2 & ~reuse_graph & ~reuse_aligned
+                        nc_cur = sm[g * 8 + 0]
                         cur = jnp.where(
                             reuse_graph, gid_c,
-                            jnp.where(reuse_aligned, aligned, sm[0]),
+                            jnp.where(
+                                reuse_aligned, cn(aligned, N - 1),
+                                cn(nc_cur, N - 1),
+                            ),
                         )
+                        sm[g * 8 + 0] = nc_cur + new_node.astype(jnp.int32)
+                        ovf_n = new_node & (nc_cur + 1 >= N)
+                        ok_create = new_node & ~ovf_n
+                        dn = nd(g, sel(ok_create, cur, N))
+                        s_node[dn] = base
+                        s_inc[dn] = 0
+                        s_outc[dn] = 0
+                        s_alc[dn] = 0
+                        s_cov[dn] = 0
+                        # aligned-node linking
+                        link = ok_create & (gid != -1)
+                        na = cn(s_alc[nd(g, gid_c)], E)
 
-                        @pl.when(new_node)
-                        def _create():
-                            sm[0] = sm[0] + 1
+                        def la(a0, _):
+                            aid = cn(s_al[ed(g, gid_c * E + a0)], N - 1)
+                            slot = cn(s_alc[nd(g, aid)], E - 1)
+                            s_al[ed(g, sel(link, aid * E + slot, N * E))] = cur
+                            s_alc[nd(g, sel(link, aid, N))] = (
+                                s_alc[nd(g, aid)] + 1
+                            )
+                            s_al[ed(g, sel(link, cur * E + a0, N * E))] = aid
+                            return 0
 
-                            @pl.when(sm[0] >= N)
-                            def _():
-                                sm[1] = 1
+                        jax.lax.fori_loop(0, jnp.where(link, na, 0), la, 0)
+                        s_al[ed(g, sel(link, gid_c * E + na, N * E))] = cur
+                        s_alc[nd(g, sel(link, gid_c, N))] = na + 1
+                        s_al[ed(g, sel(link, cur * E + na, N * E))] = gid_c
+                        s_alc[nd(g, sel(link, cur, N))] = na + 1
+                        ovf_a = link & (na + 1 > A - 1)
+                        err_now = jnp.where(
+                            ovf_n, 1, jnp.where(ovf_a, 2, 0)
+                        )
+                        # edge from head to cur
+                        act3 = act2 & (err_now == 0) & (head != -1)
+                        head_c = cn(head, N - 1)
+                        ic = cn(s_inc[nd(g, cur)], E)
 
-                            @pl.when(sm[1] == 0)
-                            def _():
-                                s_node[cur] = base
-                                s_inc[cur] = 0
-                                s_outc[cur] = 0
-                                s_alc[cur] = 0
-                                s_cov[cur] = 0
+                        def fe(e0, acc):
+                            return jnp.where(
+                                s_in_e[ed(g, cur * E + e0)] == head, e0, acc
+                            )
 
-                                @pl.when(gid != -1)
-                                def _link():
-                                    na = s_alc[gid_c]
-
-                                    def la(a0, _):
-                                        aid = s_al[gid_c * E + a0]
-                                        s_al[aid * E + s_alc[aid]] = cur
-                                        s_alc[aid] = s_alc[aid] + 1
-                                        s_al[cur * E + a0] = aid
-                                        return 0
-
-                                    jax.lax.fori_loop(0, na, la, 0)
-                                    s_al[gid_c * E + na] = cur
-                                    s_alc[gid_c] = na + 1
-                                    s_al[cur * E + na] = gid_c
-                                    s_alc[cur] = na + 1
-
-                                    @pl.when(na + 1 > A - 1)
-                                    def _():
-                                        sm[1] = 2
-
-                        @pl.when((head != -1) & (sm[1] == 0))
-                        def _edge():
-                            ic = s_inc[cur]
-
-                            def fe(e0, acc):
-                                return jnp.where(
-                                    s_in_e[cur * E + e0] == head, e0, acc
-                                )
-
-                            eslot = jax.lax.fori_loop(0, ic, fe, jnp.int32(-1))
-
-                            @pl.when(eslot != -1)
-                            def _bump():
-                                idx = cur * E + jnp.maximum(eslot, 0)
-                                s_in_w[idx] = s_in_w[idx] + prev_w + w
-
-                            @pl.when(eslot == -1)
-                            def _append():
-                                oc = s_outc[head]
-                                s_in_e[cur * E + ic] = head
-                                s_in_w[cur * E + ic] = prev_w + w
-                                s_inc[cur] = ic + 1
-                                s_out_e[head * E + oc] = cur
-                                s_outc[head] = oc + 1
-
-                                @pl.when((oc + 1 >= E) | (ic + 1 >= E))
-                                def _():
-                                    sm[1] = 2
-
-                        @pl.when(sm[1] == 0)
-                        def _cov():
-                            s_cov[cur] = s_cov[cur] + 1
-
+                        eslot = jax.lax.fori_loop(
+                            0, jnp.where(act3, ic, 0), fe, jnp.int32(-1)
+                        )
+                        bump = act3 & (eslot != -1)
+                        bidx = ed(
+                            g, sel(bump, cur * E + cn(eslot, E - 1), N * E)
+                        )
+                        s_in_w[bidx] = s_in_w[bidx] + prev_w + w
+                        app = act3 & (eslot == -1)
+                        oc = cn(s_outc[nd(g, head_c)], E - 1)
+                        ic_c = cn(ic, E - 1)
+                        aidx = ed(g, sel(app, cur * E + ic_c, N * E))
+                        s_in_e[aidx] = head
+                        s_in_w[aidx] = prev_w + w
+                        s_inc[nd(g, sel(app, cur, N))] = ic + 1
+                        s_out_e[ed(g, sel(app, head_c * E + oc, N * E))] = cur
+                        s_outc[nd(g, sel(app, head_c, N))] = oc + 1
+                        ovf_e = app & ((oc + 1 >= E) | (ic + 1 >= E))
+                        err_fin = jnp.where(ovf_e, 2, err_now)
+                        okc = act2 & (err_fin == 0)
+                        cidx = nd(g, sel(okc, cur, N))
+                        s_cov[cidx] = s_cov[cidx] + 1
                         if MSA:
-                            @pl.when(sm[1] == 0)
-                            def _msa_track():
-                                s_next[
-                                    jnp.where(head != -1, head, SCRAP) * S + s
-                                ] = cur
-                                s_begin[jnp.where(read_pos == 0, s, S)] = cur
+                            s_next[
+                                sel(okc, jnp.where(head != -1, head_c, N), N) * S + s
+                            ] = cur
+                            s_begin[sel(okc & (read_pos == 0), s, S)] = cur
+                        sm[g * 8 + 1] = jnp.where(act2, err_fin, err_g)
+                        nheads.append(jnp.where(act2, cur, head))
+                        nprev.append(jnp.where(act2, w, prev_w))
+                    return tuple(nheads), tuple(nprev)
 
-                        return cur, w
-
-                    return jax.lax.cond(
-                        (read_pos != -1) & (sm[1] == 0), do, lambda c: c,
-                        (head, prev_w),
-                    )
-
-                jax.lax.fori_loop(
-                    0, aln_len, add_body, (jnp.int32(-1), jnp.int32(0))
+                heads_f, _ = jax.lax.fori_loop(
+                    0, max_aln, add_body,
+                    (
+                        tuple(jnp.int32(-1) for _ in rg),
+                        tuple(jnp.int32(0) for _ in rg),
+                    ),
                 )
+                if MSA:
+                    # explicit chain end (replaces the O(N*S) -1 prefill)
+                    ok_end = runs[0] & (sm[1] == 0) & (heads_f[0] != -1)
+                    s_next[
+                        sel(ok_end, cn(heads_f[0], N - 1), N) * S + s
+                    ] = -1
 
             # ------------- topological sort (cudapoa_topsort.cuh:46) ------
-            @pl.when((sm[1] == 0) if PH & 8 else jnp.bool_(False))
-            def _sort():
-                nc2 = sm[0]
+            if PH & 8:
+                errs2 = [sm[g * 8 + 1] for g in rg]
+                oks = [runs[g] & (errs2[g] == 0) for g in rg]
+                ncs2 = [jnp.where(oks[g], sm[g * 8 + 0], 0) for g in rg]
+                max_nc2 = _maxs(ncs2)
 
                 def cp(i, _):
-                    s_loc[i] = s_inc[i]
+                    for g in rg:
+                        ok = i < ncs2[g]
+                        s_loc[nd(g, sel(ok, i, N))] = s_inc[
+                            nd(g, cn(i, N - 1))
+                        ]
                     return 0
 
-                jax.lax.fori_loop(0, nc2, cp, 0)
+                jax.lax.fori_loop(0, max_nc2, cp, 0)
 
                 # branch-free Kahn: non-emitting iterations write to scrap
-                def seed(i, tail):
-                    emit = s_loc[i] == 0
-                    dst = jnp.where(emit, tail, SCRAP)
-                    s_sort[dst] = i
-                    s_ocs[dst] = s_outc[i]
-                    s_pos[jnp.where(emit, i, SCRAP)] = tail
-                    return tail + emit.astype(jnp.int32)
+                def seed(i, tails):
+                    nt = []
+                    for g in rg:
+                        ok = i < ncs2[g]
+                        ic = cn(i, N - 1)
+                        emit = ok & (s_loc[nd(g, ic)] == 0)
+                        dst = sel(emit, tails[g], N)
+                        s_sort[nd(g, dst)] = i
+                        s_ocs[nd(g, dst)] = s_outc[nd(g, ic)]
+                        s_pos[nd(g, sel(emit, ic, N))] = tails[g]
+                        nt.append(tails[g] + emit.astype(jnp.int32))
+                    return tuple(nt)
 
-                tail = jax.lax.fori_loop(0, nc2, seed, jnp.int32(0))
+                tails = jax.lax.fori_loop(
+                    0, max_nc2, seed, tuple(jnp.int32(0) for _ in rg)
+                )
 
-                def expand(i, tail):
-                    node = s_sort[i]
+                def expand(i, tails):
+                    nodes = [cn(s_sort[nd(g, cn(i, N - 1))], N - 1) for g in rg]
+                    bounds = [
+                        jnp.where(i < ncs2[g], cn(s_outc[nd(g, nodes[g])], E), 0)
+                        for g in rg
+                    ]
+                    maxb = _maxs(bounds)
 
-                    def eb(e0, tail):
-                        out = s_out_e[node * E + e0]
-                        lc = s_loc[out] - 1
-                        s_loc[out] = lc
-                        emit = lc == 0
-                        dst = jnp.where(emit, tail, SCRAP)
-                        s_sort[dst] = out
-                        s_ocs[dst] = s_outc[out]
-                        s_pos[jnp.where(emit, out, SCRAP)] = tail
-                        return tail + emit.astype(jnp.int32)
+                    def eb(e0, tails):
+                        nt = []
+                        for g in rg:
+                            ok = e0 < bounds[g]
+                            out = cn(
+                                s_out_e[ed(g, nodes[g] * E + cn(e0, E - 1))],
+                                N - 1,
+                            )
+                            lc = s_loc[nd(g, out)] - 1
+                            s_loc[nd(g, sel(ok, out, N))] = lc
+                            emit = ok & (lc == 0)
+                            dst = sel(emit, tails[g], N)
+                            s_sort[nd(g, dst)] = out
+                            s_ocs[nd(g, dst)] = s_outc[nd(g, out)]
+                            s_pos[nd(g, sel(emit, out, N))] = tails[g]
+                            nt.append(tails[g] + emit.astype(jnp.int32))
+                        return tuple(nt)
 
-                    return jax.lax.fori_loop(0, s_outc[node], eb, tail)
+                    return jax.lax.fori_loop(0, maxb, eb, tails)
 
-                jax.lax.fori_loop(0, nc2, expand, tail)
+                jax.lax.fori_loop(0, max_nc2, expand, tails)
 
         return 0
 
     jax.lax.fori_loop(1, S, seq_body, 0)
 
     # =============== consensus (cudapoa_generate_consensus.cuh) ===========
-    @pl.when((sm[1] == 0) if PH & 16 else jnp.bool_(False))
-    def _consensus():
-        nc = sm[0]
+    if PH & 16:
+        cacts = [(sm[g * 8 + 1] == 0) & (nss[g] > 0) for g in rg]
+        cncs = [jnp.where(cacts[g], sm[g * 8 + 0], 0) for g in rg]
+        cmax_nc = _maxs(cncs)
+        any_c = _anys(cacts)
 
-        def cpass(gp, carry):
-            max_id, max_sc = carry
-            nid = s_sort[gp]
+        @pl.when(any_c)
+        def _consensus():
+            def cpass(gp, carry):
+                max_ids, max_scs = carry
+                nmi, nms = [], []
+                for g in rg:
+                    ok = gp < cncs[g]
+                    nid = cn(s_sort[nd(g, cn(gp, N - 1))], N - 1)
+                    pc = jnp.where(ok, cn(s_inc[nd(g, nid)], E), 0)
 
-            def eb(e0, c):
-                sc, p = c
-                ew = s_in_w[nid * E + e0]
-                begin = s_in_e[nid * E + e0]
-                take = (sc < ew) | (
-                    (sc == ew)
-                    & (p != -1)
-                    & (s_csc[jnp.maximum(p, 0)] <= s_csc[begin])
-                )
-                return jnp.where(take, ew, sc), jnp.where(take, begin, p)
-
-            sc, p = jax.lax.fori_loop(
-                0, s_inc[nid], eb, (jnp.int32(-1), jnp.int32(-1))
-            )
-            sc = jnp.where(p != -1, sc + s_csc[jnp.maximum(p, 0)], sc)
-            s_csc[nid] = sc
-            s_cpr[nid] = p
-            upd = max_sc <= sc
-            return jnp.where(upd, nid, max_id), jnp.where(upd, sc, max_sc)
-
-        max_id, _ = jax.lax.fori_loop(
-            0, nc, cpass, (jnp.int32(0), jnp.int32(-(1 << 30)))
-        )
-
-        def bc_cond(c):
-            max_id, loops = c
-            return (s_outc[max_id] != 0) & (loops < nc)
-
-        def bc_body(c):
-            max_id, loops = c
-            nid = s_sort[s_pos[max_id]]
-
-            def clear_oe(e0, _):
-                out = s_out_e[nid * E + e0]
-
-                def clear_ie(i0, _):
-                    iid = s_in_e[out * E + i0]
-                    s_csc[jnp.where(iid != nid, iid, SCRAP)] = -1
-                    return 0
-
-                jax.lax.fori_loop(0, s_inc[out], clear_ie, 0)
-                return 0
-
-            jax.lax.fori_loop(0, s_outc[nid], clear_oe, 0)
-
-            def rescan(gp, carry):
-                m_id, m_sc = carry
-                node = s_sort[gp]
-
-                def eb(e0, c):
-                    sc, p = c
-                    begin = s_in_e[node * E + e0]
-                    skip = s_csc[begin] == -1
-                    ew = s_in_w[node * E + e0]
-                    take = ~skip & (
-                        (sc < ew)
-                        | (
+                    def eb(e0, c):
+                        sc, p = c
+                        ew = s_in_w[ed(g, nid * E + e0)]
+                        begin = cn(s_in_e[ed(g, nid * E + e0)], N - 1)
+                        take = (sc < ew) | (
                             (sc == ew)
                             & (p != -1)
-                            & (s_csc[jnp.maximum(p, 0)] <= s_csc[begin])
+                            & (s_csc[nd(g, cn(p, N - 1))] <= s_csc[nd(g, begin)])
                         )
+                        return (
+                            jnp.where(take, ew, sc),
+                            jnp.where(take, begin, p),
+                        )
+
+                    sc, p = jax.lax.fori_loop(
+                        0, pc, eb, (jnp.int32(-1), jnp.int32(-1))
                     )
-                    return jnp.where(take, ew, sc), jnp.where(take, begin, p)
+                    sc = jnp.where(
+                        p != -1, sc + s_csc[nd(g, cn(p, N - 1))], sc
+                    )
+                    s_csc[nd(g, sel(ok, nid, N))] = sc
+                    s_cpr[nd(g, sel(ok, nid, N))] = p
+                    upd = ok & (max_scs[g] <= sc)
+                    nmi.append(jnp.where(upd, nid, max_ids[g]))
+                    nms.append(jnp.where(upd, sc, max_scs[g]))
+                return tuple(nmi), tuple(nms)
 
-                sc, p = jax.lax.fori_loop(
-                    0, s_inc[node], eb, (jnp.int32(-1), jnp.int32(-1))
-                )
-                s_cpr[node] = p
-                sc = jnp.where(p != -1, sc + s_csc[jnp.maximum(p, 0)], sc)
-                s_csc[node] = sc
-                upd = m_sc <= sc
-                return jnp.where(upd, node, m_id), jnp.where(upd, sc, m_sc)
-
-            m_id, _ = jax.lax.fori_loop(
-                s_pos[max_id] + 1, nc, rescan, (jnp.int32(0), jnp.int32(0))
+            max_ids, _ = jax.lax.fori_loop(
+                0, cmax_nc, cpass,
+                (
+                    tuple(jnp.int32(0) for _ in rg),
+                    tuple(jnp.int32(-(1 << 30)) for _ in rg),
+                ),
             )
-            return m_id, loops + 1
 
-        max_id, loops = jax.lax.while_loop(bc_cond, bc_body, (max_id, jnp.int32(0)))
+            # branch completion (generate_consensus.cuh: re-pick when the
+            # heaviest node is not a sink)
+            def bc_cond(c):
+                max_ids, loops, dones = c
+                return _anys([~dones[g] for g in rg])
 
-        @pl.when(loops >= nc)
-        def _():
-            sm[1] = 3
+            def bc_body(c):
+                max_ids, loops, dones = c
+                nmi, nlp, ndn = [], [], []
+                for g in rg:
+                    act = ~dones[g]
+                    mid = max_ids[g]
+                    nid = cn(
+                        s_sort[nd(g, cn(s_pos[nd(g, mid)], N - 1))], N - 1
+                    )
+                    obound = jnp.where(act, cn(s_outc[nd(g, nid)], E), 0)
 
-        @pl.when(sm[1] == 0)
-        def _emit():
+                    def clear_oe(e0, _):
+                        out = cn(s_out_e[ed(g, nid * E + e0)], N - 1)
+                        ibound = cn(s_inc[nd(g, out)], E)
+
+                        def clear_ie(i0, _):
+                            iid = cn(s_in_e[ed(g, out * E + i0)], N - 1)
+                            s_csc[nd(g, sel(iid != nid, iid, N))] = -1
+                            return 0
+
+                        jax.lax.fori_loop(0, ibound, clear_ie, 0)
+                        return 0
+
+                    jax.lax.fori_loop(0, obound, clear_oe, 0)
+                    start = s_pos[nd(g, mid)]
+
+                    def rescan(gp, carry):
+                        m_id, m_sc = carry
+                        ok = act & (gp > start) & (gp < cncs[g])
+                        node = cn(s_sort[nd(g, cn(gp, N - 1))], N - 1)
+                        pc = jnp.where(ok, cn(s_inc[nd(g, node)], E), 0)
+
+                        def eb(e0, c2):
+                            sc, p = c2
+                            begin = cn(s_in_e[ed(g, node * E + e0)], N - 1)
+                            skip = s_csc[nd(g, begin)] == -1
+                            ew = s_in_w[ed(g, node * E + e0)]
+                            take = ~skip & (
+                                (sc < ew)
+                                | (
+                                    (sc == ew)
+                                    & (p != -1)
+                                    & (
+                                        s_csc[nd(g, cn(p, N - 1))]
+                                        <= s_csc[nd(g, begin)]
+                                    )
+                                )
+                            )
+                            return (
+                                jnp.where(take, ew, sc),
+                                jnp.where(take, begin, p),
+                            )
+
+                        sc, p = jax.lax.fori_loop(
+                            0, pc, eb, (jnp.int32(-1), jnp.int32(-1))
+                        )
+                        s_cpr[nd(g, sel(ok, node, N))] = p
+                        sc = jnp.where(
+                            p != -1, sc + s_csc[nd(g, cn(p, N - 1))], sc
+                        )
+                        s_csc[nd(g, sel(ok, node, N))] = sc
+                        upd = ok & (m_sc <= sc)
+                        return (
+                            jnp.where(upd, node, m_id),
+                            jnp.where(upd, sc, m_sc),
+                        )
+
+                    m_id, _ = jax.lax.fori_loop(
+                        0, cmax_nc, rescan, (jnp.int32(0), jnp.int32(0))
+                    )
+                    mid2 = jnp.where(act, m_id, mid)
+                    lp2 = loops[g] + act.astype(jnp.int32)
+                    done2 = dones[g] | (
+                        (s_outc[nd(g, mid2)] == 0) | (lp2 >= cncs[g])
+                    )
+                    nmi.append(mid2)
+                    nlp.append(lp2)
+                    ndn.append(done2)
+                return tuple(nmi), tuple(nlp), tuple(ndn)
+
+            dones0 = tuple(
+                ~cacts[g] | (s_outc[nd(g, max_ids[g])] == 0) for g in rg
+            )
+            max_ids, loops, _ = jax.lax.while_loop(
+                bc_cond, bc_body,
+                (max_ids, tuple(jnp.int32(0) for _ in rg), dones0),
+            )
+            emit_oks = []
+            for g in rg:
+                fail = cacts[g] & (loops[g] >= cncs[g])
+                sm[g * 8 + 1] = jnp.where(fail, 3, sm[g * 8 + 1])
+                emit_oks.append(cacts[g] & ~fail)
+
+            # emit consensus walking heaviest predecessors (BACKWARD order)
             def em_cond(c):
-                nid, k, done = c
-                return (~done) & (k < C)
+                nids, ks, dones = c
+                return _anys([~dones[g] & (ks[g] < C) for g in rg])
 
             def em_body(c):
-                nid, k, done = c
+                nids, ks, dones = c
+                nni, nks, ndn = [], [], []
+                for g in rg:
+                    ok = ~dones[g] & (ks[g] < C)
+                    nid = nids[g]
+                    abound = jnp.where(ok, cn(s_alc[nd(g, nid)], E), 0)
 
-                def cv(a0, acc):
-                    return acc + s_cov[s_al[nid * E + a0]]
+                    def cv(a0, acc):
+                        return acc + s_cov[
+                            nd(g, cn(s_al[ed(g, nid * E + a0)], N - 1))
+                        ]
 
-                cov = jax.lax.fori_loop(0, s_alc[nid], cv, s_cov[nid])
-                cons_ref[0, 0, k] = s_node[nid]
-                cov_ref[0, 0, k] = cov
-                p = s_cpr[nid]
-                return jnp.where(p == -1, nid, p), k + 1, p == -1
+                    cov = jax.lax.fori_loop(0, abound, cv, s_cov[nd(g, nid)])
+                    kc = cn(ks[g], C - 1)
+                    cons_ref[g, 0, kc] = jnp.where(
+                        ok, s_node[nd(g, nid)], cons_ref[g, 0, kc]
+                    )
+                    cov_ref[g, 0, kc] = jnp.where(ok, cov, cov_ref[g, 0, kc])
+                    p = s_cpr[nd(g, nid)]
+                    nni.append(jnp.where(ok & (p != -1), cn(p, N - 1), nid))
+                    nks.append(ks[g] + ok.astype(jnp.int32))
+                    ndn.append(dones[g] | (ok & (p == -1)))
+                return tuple(nni), tuple(nks), tuple(ndn)
 
-            nid_f, k_f, _ = jax.lax.while_loop(
-                em_cond, em_body, (max_id, jnp.int32(0), False)
+            nids_f, ks_f, _ = jax.lax.while_loop(
+                em_cond, em_body,
+                (
+                    max_ids,
+                    tuple(jnp.int32(0) for _ in rg),
+                    tuple(~emit_oks[g] for g in rg),
+                ),
             )
-            clen_ref[0, 0, 0] = k_f
+            for g in rg:
+                clen_ref[g, 0, 0] = jnp.where(emit_oks[g], ks_f[g], 0)
 
     if MSA:
+        assert G == 1, "MSA mode requires G == 1"
         STK = 2 * N + 8
 
         @pl.when(sm[1] == 0)
         def _msa():
             nc = sm[0]
-            nseq = ns
+            nseq = nss[0]
 
             def ini(i, _):
                 s_mark[i] = 0
@@ -618,20 +878,20 @@ def _poa_kernel(
                             aid = s_al[nid * E + a0]
                             push = (s_mark[aid] != 2) & ~done & chk
                             s_stack[jnp.where(push, t2 + 1, STK - 1)] = aid
-                            s_chk[jnp.where(push, aid, SCRAP)] = 0
+                            s_chk[jnp.where(push, aid, N)] = 0
                             return t2 + push.astype(jnp.int32)
 
                         top3 = jax.lax.fori_loop(0, s_alc[nid], pa, top2)
                         valid = done | (top3 == top)
                         emit = valid & ~done
-                        s_mark[jnp.where(emit, nid, SCRAP)] = 2
-                        s_mark[jnp.where((~valid) & (~done), nid, SCRAP)] = 1
+                        s_mark[jnp.where(emit, nid, N)] = 2
+                        s_mark[jnp.where((~valid) & (~done), nid, N)] = 1
                         emitc = emit & chk
-                        s_col[jnp.where(emitc, nid, SCRAP)] = col
+                        s_col[jnp.where(emitc, nid, N)] = col
 
                         def ec(a0, _):
                             aid = s_al[nid * E + a0]
-                            s_col[jnp.where(emitc, aid, SCRAP)] = col
+                            s_col[jnp.where(emitc, aid, N)] = col
                             return 0
 
                         jax.lax.fori_loop(0, s_alc[nid], ec, 0)
@@ -678,83 +938,105 @@ def _poa_kernel(
         def _msa_err():
             mlen_ref[0, 0, 0] = 0
 
-    err_ref[0, 0, 0] = sm[1]
+    for g in rg:
+        err_ref[g, 0, 0] = sm[g * 8 + 1]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "S", "L", "N", "E", "A", "gap", "mismatch", "match", "interpret",
-        "msa", "phases",
+        "msa", "phases", "windows_per_step",
     ),
 )
 def poa_consensus_pallas(seqs, wts, lens, nseqs,
                          S: int, L: int, N: int, E: int, A: int,
                          gap: int = -8, mismatch: int = -6, match: int = 8,
-                         interpret: bool = False, msa: bool = False,
-                         phases: int = 0b11111):
-    """Run the full POA chain per window. seqs/wts (B, S, L) i32,
-    lens (B, S) i32, nseqs (B,) i32. Returns (consensus (B, C) i32 in
-    BACKWARD order, coverage (B, C) i32, lengths (B,), err (B,)) and, when
-    ``msa``, additionally (msa (B, S, C) i32 gapped rows, msa_len (B,)).
+                         interpret: bool | None = None, msa: bool = False,
+                         phases: int = 0b11111, windows_per_step: int = 1):
+    """Run the full POA chain, ``windows_per_step`` (G) windows per grid
+    step. seqs/wts (B, S, L) i32, lens (B, S) i32, nseqs (B,) i32; B must
+    be a multiple of G (pad with nseqs == 0 windows, which report err=1
+    and are skipped in-kernel). Returns (consensus (B, C) i32 in BACKWARD
+    order, coverage (B, C) i32, lengths (B,), err (B,)) and, when ``msa``,
+    additionally (msa (B, S, C) i32 gapped rows, msa_len (B,)).
 
     Note: alignment lists share the per-node stride E with edge lists
     (A <= E is required; both are 50 in the reference)."""
     if A > E:
         raise ValueError("kernel requires max_alignments <= max_edges")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # transfers ride a ~50 MB/s tunnel: accept narrow dtypes + broadcastable
+    # weights and widen on device (jit body = device-side ops)
+    seqs = seqs.astype(jnp.int32)
+    wts = jnp.broadcast_to(wts.astype(jnp.int32), seqs.shape)
+    G = windows_per_step
+    if msa and G != 1:
+        raise ValueError("MSA mode requires windows_per_step == 1")
     B = seqs.shape[0]
+    if B % G:
+        raise ValueError("batch must be a multiple of windows_per_step")
     C = N
     Lp = _roundup(L + 1, 128)
     K = N + L
+    MN = N + 8
+    ME = N * E + 8
+    KP = K + 8
+    R1 = N + 1
 
     kernel = functools.partial(
         _poa_kernel,
         S=S, L=L, N=N, E=E, A=A, C=C, Lp=Lp,
-        gap=gap, mismatch=mismatch, match=match, MSA=msa, PH=phases,
+        gap=gap, mismatch=mismatch, match=match, MSA=msa, G=G, PH=phases,
+        INTERP=interpret,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, L), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S, L), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, 1, S), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, S, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, S, L), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, S, L), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ] + ([
-            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, S, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ] if msa else []),
         scratch_shapes=[
-            pltpu.VMEM((N + 1, Lp), jnp.float32),  # scores
-            pltpu.VMEM((N + 1, Lp), jnp.int32),    # codes
-            pltpu.SMEM((N + 8,), jnp.int32),   # s_node
-            pltpu.SMEM((N + 8,), jnp.int32),   # s_inc
-            pltpu.SMEM((N + 8,), jnp.int32),   # s_outc
-            pltpu.SMEM((N + 8,), jnp.int32),   # s_alc
-            pltpu.SMEM((N + 8,), jnp.int32),   # s_cov
-            pltpu.SMEM((N + 8,), jnp.int32),   # s_sort
-            pltpu.SMEM((N + 8,), jnp.int32),   # s_pos
-            pltpu.SMEM((N + 8,), jnp.int32),   # s_ocs
-            pltpu.SMEM((N + 8,), jnp.int32),   # s_loc
-            pltpu.SMEM((N + 8,), jnp.int32),   # s_csc
-            pltpu.SMEM((N + 8,), jnp.int32),   # s_cpr
-            pltpu.SMEM((N * E + 8,), jnp.int32),  # s_in_e
-            pltpu.SMEM((N * E + 8,), jnp.int32),  # s_in_w
-            pltpu.SMEM((N * E + 8,), jnp.int32),  # s_out_e
-            pltpu.SMEM((N * E + 8,), jnp.int32),  # s_al
-            pltpu.SMEM((K,), jnp.int32),       # s_ag
-            pltpu.SMEM((K,), jnp.int32),       # s_ar
-            pltpu.SMEM((8,), jnp.int32),       # sm
+            pltpu.VMEM((G * R1, Lp), jnp.float32),  # scores
+            pltpu.VMEM((G * R1, Lp), jnp.int32),    # codes
+            pltpu.VMEM((G * R1,), jnp.float32),     # colv (col-rl extraction)
+            pltpu.SMEM((G * MN,), jnp.int32),   # s_node
+            pltpu.SMEM((G * MN,), jnp.int32),   # s_inc
+            pltpu.SMEM((G * MN,), jnp.int32),   # s_outc
+            pltpu.SMEM((G * MN,), jnp.int32),   # s_alc
+            pltpu.SMEM((G * MN,), jnp.int32),   # s_cov
+            pltpu.SMEM((G * MN,), jnp.int32),   # s_sort
+            pltpu.SMEM((G * MN,), jnp.int32),   # s_pos
+            pltpu.SMEM((G * MN,), jnp.int32),   # s_ocs
+            pltpu.SMEM((G * MN,), jnp.int32),   # s_loc
+            pltpu.SMEM((G * MN,), jnp.int32),   # s_csc
+            pltpu.SMEM((G * MN,), jnp.int32),   # s_cpr
+            pltpu.SMEM((G * ME,), jnp.int32),   # s_in_e
+            pltpu.SMEM((G * ME,), jnp.int32),   # s_in_w
+            pltpu.SMEM((G * ME,), jnp.int32),   # s_out_e
+            pltpu.SMEM((G * ME,), jnp.int32),   # s_al
+            pltpu.SMEM((G * KP,), jnp.int32),   # s_ag
+            pltpu.SMEM((G * KP,), jnp.int32),   # s_ar
+            pltpu.SMEM((8 * G + 8,), jnp.int32),    # sm (per-window scalars)
+            pltpu.SMEM((G * R1,), jnp.float32),     # s_colv
+            pltpu.SemaphoreType.DMA,                # colv DMA semaphore
         ] + ([
-            pltpu.SMEM((N * S + 8,), jnp.int32),   # s_next
+            pltpu.SMEM(((N + 1) * S + 8,), jnp.int32),  # s_next (+scrap row)
             pltpu.SMEM((S + 8,), jnp.int32),       # s_begin
             pltpu.SMEM((N + 8,), jnp.int32),       # s_mark
             pltpu.SMEM((N + 8,), jnp.int32),       # s_chk
@@ -782,7 +1064,11 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         seqs, seqs, wts,
     )
     cons, cov, clen, err = out[:4]
-    base = (cons[:, 0, :], cov[:, 0, :], clen[:, 0, 0], err[:, 0, 0])
+    # uint8 consensus/msa: 4x fewer D2H bytes (values are ASCII bases)
+    base = (
+        cons[:, 0, :].astype(jnp.uint8), cov[:, 0, :],
+        clen[:, 0, 0], err[:, 0, 0],
+    )
     if msa:
-        return base + (out[4], out[5][:, 0, 0])
+        return base + (out[4].astype(jnp.uint8), out[5][:, 0, 0])
     return base

@@ -1390,32 +1390,47 @@ def _pack_windows(windows, weights, S, L):
 
 def _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, msa):
     """Shape plan + feasibility for the per-window Pallas kernel. Returns
-    (S, L, N, E_kernel) or None when the workload exceeds the kernel's
+    (S, L, N, E_kernel, G) or None when the workload exceeds the kernel's
     SMEM/VMEM budget (graph state lives in SMEM, capped at 1 MB/core on
-    v5e). When the full edge cap does not fit, the kernel runs with a
-    reduced in-kernel edge cap — windows overflowing it error out and are
-    re-run exactly through the XLA path by the caller."""
+    v5e). G is the number of windows fused per grid step (largest that
+    fits — the fused NW sweep and interleaved scalar phases scale ~G x,
+    see ops/poa_pallas.py). When the full edge/node caps do not fit, the
+    kernel runs with reduced in-kernel caps — windows overflowing them
+    error out and are re-run exactly through the XLA path by the caller."""
     Lmax = max(max(len(s) for s in w) for w in windows)
     Smax = max(len(w) for w in windows)
     L = ((Lmax + 63) // 64) * 64
     S = max(2, ((Smax + 1) // 2) * 2)
-    # size the graph from the actual windows, bounded by the config cap
-    N = 3 * L if max_nodes is None else min(max_nodes, 3 * L)
-    if N < Lmax or max_edges > 128 or max_alignments > max_edges:
+    N_full = 3 * L if max_nodes is None else min(max_nodes, 3 * L)
+    if N_full < Lmax or max_edges > 128 or max_alignments > max_edges:
         return None
     Lp = ((L + 1 + 127) // 128) * 128
-    vmem = 2 * (N + 1) * Lp * 4 + S * L * 4
-    if vmem > 14_000_000:
-        return None
-    K = N + L
-    for E_k in (max_edges, 16):
-        if E_k > max_edges:
-            continue
-        smem_words = 4 * (N * E_k + 8) + 13 * (N + 8) + 2 * K + 2 * S * L + 64
-        if msa:
-            smem_words += N * S + 8 + S + 8 + 4 * (N + 8) + 2 * N + 8 + S * N
-        if smem_words * 4 <= 900_000:  # 1 MB SMEM minus headroom
-            return S, L, N, E_k
+    n_cands = sorted(
+        {N_full, min(N_full, 2 * L), min(N_full, (3 * L) // 2),
+         min(N_full, max(512, Lmax + 2))},
+        reverse=True,
+    )
+    n_cands = [n for n in n_cands if n > Lmax]
+    e_cands = [e for e in (max_edges, 24, 16) if e <= max_edges]
+    for G in ((1,) if msa else (4, 3, 2, 1)):
+        for E_k in e_cands:
+            for N in n_cands:
+                K = N + L
+                # mirrors poa_consensus_pallas scratch_shapes (+2x pipeline
+                # buffering allowance on the SMEM input/output blocks)
+                w = (
+                    11 * (N + 8) + 4 * (N * E_k + 8) + 2 * (K + 8)
+                    + 4 * S * L + 2 * N + 8 + (N + 1) + 16
+                )
+                if msa:
+                    w += (N + 1) * S + 8 + S + 8 + 3 * (N + 8) + 2 * N + 8
+                    w += 2 * S * N  # msa output block (x2 buffering)
+                if w * G * 4 > 900_000:  # 1 MB SMEM minus headroom
+                    continue
+                vmem = G * ((N + 1) * (2 * Lp + 1) * 4 + 2 * S * L * 4)
+                if vmem > 14_000_000:
+                    continue
+                return S, L, N, E_k, G
     return None
 
 def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
@@ -1425,15 +1440,30 @@ def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
     multiple of 64) bound the number of compiled kernel variants."""
     from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
 
-    S, L, N, E_k = _pallas_poa_plan(
+    S, L, N, E_k, G = _pallas_poa_plan(
         windows, max_nodes, max_edges, max_alignments, False
     )
+    N_full = 3 * L if max_nodes is None else min(max_nodes, 3 * L)
     seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
+    B = len(windows)
+    pad = (-B) % G
+    if pad:
+        # grid padding: nseqs == 0 windows are skipped in-kernel
+        seqs = np.concatenate([seqs, np.zeros((pad, S, L), np.int32)])
+        wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
+        lens = np.concatenate([lens, np.zeros((pad, S), np.int32)])
+        nseqs = np.concatenate([nseqs, np.zeros(pad, np.int32)])
+    # uint8 sequences + broadcastable unit weights: the upload rides a
+    # ~50 MB/s tunnel, the kernel widens on device
+    wts_dev = (
+        jnp.ones((1, 1, 1), jnp.int32) if weights is None
+        else jnp.asarray(wts)
+    )
     cons, cov, length, err = poa_consensus_pallas(
-        jnp.asarray(seqs), jnp.asarray(wts), jnp.asarray(lens),
+        jnp.asarray(seqs.astype(np.uint8)), wts_dev, jnp.asarray(lens),
         jnp.asarray(nseqs),
         S=S, L=L, N=N, E=E_k, A=min(max_alignments, E_k),
-        gap=gap, mismatch=mismatch, match=match,
+        gap=gap, mismatch=mismatch, match=match, windows_per_step=G,
     )
     cons = np.asarray(cons)
     cov = np.asarray(cov)
@@ -1443,9 +1473,9 @@ def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
     redo = []
     for b in range(len(windows)):
         if err[b] != 0:
-            # with a reduced in-kernel edge cap an error may be an
+            # with reduced in-kernel edge/node caps an error may be an
             # artifact of the cap — re-run through the exact XLA path
-            if E_k < max_edges:
+            if E_k < max_edges or N < N_full:
                 redo.append(b)
             out_cons.append("")
             out_cov.append(np.zeros(0, np.int32))
@@ -1568,12 +1598,18 @@ def _poa_batch_msa_pallas(windows, gap, mismatch, match, max_nodes,
     emission all in-kernel)."""
     from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
 
-    S, L, N, E_k = _pallas_poa_plan(
+    S, L, N, E_k, G = _pallas_poa_plan(
         windows, max_nodes, max_edges, max_alignments, True
     )
+    assert G == 1  # MSA fusion is a planned follow-up
+    N_full = 3 * L if max_nodes is None else min(max_nodes, 3 * L)
     seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
+    wts_dev = (
+        jnp.ones((1, 1, 1), jnp.int32) if weights is None
+        else jnp.asarray(wts)
+    )
     cons, cov, length, err, msa, mlen = poa_consensus_pallas(
-        jnp.asarray(seqs), jnp.asarray(wts), jnp.asarray(lens),
+        jnp.asarray(seqs.astype(np.uint8)), wts_dev, jnp.asarray(lens),
         jnp.asarray(nseqs),
         S=S, L=L, N=N, E=E_k, A=min(max_alignments, E_k),
         gap=gap, mismatch=mismatch, match=match, msa=True,
@@ -1585,7 +1621,7 @@ def _poa_batch_msa_pallas(windows, gap, mismatch, match, max_nodes,
     redo = []
     for b, w in enumerate(windows):
         if err[b] != 0:
-            if E_k < max_edges:
+            if E_k < max_edges or N < N_full:
                 redo.append(b)
             out_msa.append([])
             out_status.append(int(err[b]))
