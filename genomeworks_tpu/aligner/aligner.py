@@ -177,11 +177,42 @@ class Aligner:
                 banded_nw_forward_pallas,
                 traceback_host_packed,
             )
+            from genomeworks_tpu.ops.rle_traceback_pallas import (
+                rle_traceback_pallas,
+            )
 
             codes, fits = banded_nw_forward_pallas(
                 jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), bw
             )
-            paths, edge = traceback_host_packed(np.asarray(codes), qlen, tlen, dlo, bw)
+            # traceback stays on device; D2H is the RLE runs (~CIGAR-sized),
+            # not the M/16 x W code planes (reference: myers_gpu.cu:444-530
+            # emits RLE CIGARs device-side too)
+            runs_d, nruns_d, _dist, edge_d, ovf_d = rle_traceback_pallas(
+                codes, jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(dlo),
+                bw,
+            )
+            runs_h = np.asarray(runs_d)
+            nruns = np.asarray(nruns_d)
+            edge = np.asarray(edge_d)
+            ovf = np.asarray(ovf_d)
+            paths = []
+            codes_h = None
+            for r in range(B_pad):
+                if ovf[r]:
+                    # >rcap runs: fall back to the host walk for this row
+                    if codes_h is None:
+                        codes_h = np.asarray(codes)
+                    p, e = traceback_host_packed(
+                        codes_h[r : r + 1], qlen[r : r + 1], tlen[r : r + 1],
+                        dlo[r : r + 1], bw,
+                    )
+                    paths.append(p[0])
+                    edge[r] |= e[0]
+                    continue
+                rr = runs_h[r, : nruns[r]][::-1]
+                paths.append(
+                    np.repeat((rr >> 28).astype(np.int8), rr & ((1 << 28) - 1))
+                )
         else:
             dist, codes, fits = banded_nw_forward(
                 jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), bw
