@@ -29,6 +29,25 @@ streams/threads.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache. On the TPU tunnel a cold compile of the
+# sketch/POA/aligner programs costs tens of seconds; the cache brings every
+# later process to warm-start. Safe with Pallas kernels because each kernel
+# bakes a source-version tag into its program (the cache key alone does not
+# cover Mosaic custom-call payloads). Opt out with GW_TPU_NO_CACHE=1.
+if not _os.environ.get("GW_TPU_NO_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("GW_TPU_CACHE_DIR", "/tmp/gw_tpu_jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - jax absent or too old
+        pass
+
 
 def version() -> str:
     """Framework version (reference: common/base version.hpp)."""

@@ -106,17 +106,27 @@ def compute_sketch(
     # [ω, ω+w-1], i.e. k-mer positions [ω-(w-1), ω]
     pad = jnp.full((B, w - 1), INVALID_REP, jnp.uint32)
     rep_p = jnp.concatenate([pad, rep, pad], axis=1) if w > 1 else rep
+    pad_d = jnp.zeros((B, w - 1), jnp.int32)
+    dir_p = jnp.concatenate([pad_d, direction, pad_d], axis=1) if w > 1 else direction
     Pw = P + w - 1  # number of windows (padded)
 
+    # carry (rep, dir) alongside the argmin so no post-hoc row gather is
+    # needed (take_along_axis lowers to one-hot contractions on TPU)
     key_p = _u32_to_ordered_i32(rep_p)
     best_key = jnp.full((B, Pw), np.int32(0x7FFFFFFF), jnp.int32)
     best_pos = jnp.full((B, Pw), -1, jnp.int32)
+    best_rep = jnp.full((B, Pw), INVALID_REP, jnp.uint32)
+    best_dir = jnp.zeros((B, Pw), jnp.int32)
     for i in range(w):
         cand = jax.lax.slice_in_dim(key_p, i, i + Pw, axis=1)
+        cand_rep = jax.lax.slice_in_dim(rep_p, i, i + Pw, axis=1)
+        cand_dir = jax.lax.slice_in_dim(dir_p, i, i + Pw, axis=1)
         cand_pos = jnp.arange(Pw, dtype=jnp.int32)[None, :] + (i - (w - 1))
         take = cand <= best_key  # rightmost tie-break
         best_key = jnp.where(take, cand, best_key)
         best_pos = jnp.where(take, cand_pos, best_pos)
+        best_rep = jnp.where(take, cand_rep, best_rep)
+        best_dir = jnp.where(take, cand_dir, best_dir)
 
     # a window is valid if its index < n_kmers + w - 1 and the read is long
     # enough for one full window
@@ -133,9 +143,7 @@ def compute_sketch(
     emit = win_valid & (best_pos != prev_pos)
 
     positions = jnp.clip(best_pos, 0, P - 1)
-    out_reps = jnp.take_along_axis(rep, positions, axis=1)
-    out_dirs = jnp.take_along_axis(direction, positions, axis=1)
-    return out_reps, positions, out_dirs, emit
+    return best_rep, positions, best_dir, emit
 
 
 def sketch_to_numpy(reps, positions, directions, emit, first_read_id: int = 0):

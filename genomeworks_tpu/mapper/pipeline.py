@@ -47,6 +47,10 @@ class MapperParams:
     drop_fused_overlaps: bool = False
     alignment_band_width: int = 0  # >0 enables CIGAR alignment of overlaps
     hash_representations: bool = True
+    #: run the device-resident pipeline (sketch→sort→match→chain on the
+    #: accelerator, reference: the all-GPU path of main.cu); False = host
+    #: NumPy matcher/overlapper over the device sketch. Both bit-identical.
+    device_pipeline: bool = True
 
 
 def group_reads_into_index_ranges(
@@ -113,6 +117,12 @@ def map_reads(
             )
         return build
 
+    if params.device_pipeline:
+        return _map_reads_device(
+            query_parser, target_parser, params, all_to_all, filtering,
+            q_ranges, t_ranges,
+        )
+
     from genomeworks_tpu.mapper.batcher import IndexDescriptor
     from genomeworks_tpu.mapper.cache import CacheType, HostIndexCache
 
@@ -141,6 +151,51 @@ def map_reads(
                 params.min_overlap_len,
                 params.min_bases_per_residue,
                 params.min_overlap_fraction,
+            )
+            overlaps = post_process_overlaps(overlaps, params.drop_fused_overlaps)
+            overlaps_all.extend(overlaps)
+    return overlaps_all
+
+
+def _map_reads_device(
+    query_parser, target_parser, params, all_to_all, filtering,
+    q_ranges, t_ranges,
+) -> list[Overlap]:
+    """Device-resident pipeline loop (see mapper.device_pipeline)."""
+    from genomeworks_tpu.mapper.device_pipeline import (
+        build_index_device,
+        get_overlaps_device_pipeline,
+    )
+
+    def build(parser, rng):
+        return build_index_device(
+            parser, rng[0], rng[1],
+            kmer_size=params.kmer_size, window_size=params.window_size,
+            hash_representations=params.hash_representations,
+            filtering_parameter=filtering,
+        )
+
+    q_cache: dict = {}
+    t_cache: dict = {}
+    overlaps_all: list[Overlap] = []
+    for q_rng in q_ranges:
+        for t_rng in t_ranges:
+            if all_to_all and t_rng[0] < q_rng[0]:
+                continue
+            if q_rng not in q_cache:
+                q_cache[q_rng] = build(query_parser, q_rng)
+            q_index = q_cache[q_rng]
+            if all_to_all and q_rng == t_rng:
+                t_index = q_index
+            elif t_rng in t_cache:
+                t_index = t_cache[t_rng]
+            else:
+                t_index = t_cache[t_rng] = build(target_parser, t_rng)
+
+            overlaps = get_overlaps_device_pipeline(
+                q_index, t_index, all_to_all,
+                params.min_residues, params.min_overlap_len,
+                params.min_bases_per_residue, params.min_overlap_fraction,
             )
             overlaps = post_process_overlaps(overlaps, params.drop_fused_overlaps)
             overlaps_all.extend(overlaps)

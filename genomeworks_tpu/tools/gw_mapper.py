@@ -51,6 +51,11 @@ def main(argv=None):
         "--format", choices=("paf", "sam"), default="paf",
         help="output format (reference: cudamapper --format)",
     )
+    p.add_argument(
+        "--host-pipeline", action="store_true",
+        help="use the host NumPy matcher/overlapper instead of the "
+        "device-resident pipeline (both bit-identical)",
+    )
     args = p.parse_args(argv)
 
     from genomeworks_tpu.io import create_fasta_parser
@@ -80,6 +85,7 @@ def main(argv=None):
         min_bases_per_residue=args.min_bases_per_residue,
         min_overlap_fraction=args.min_overlap_fraction,
         drop_fused_overlaps=args.drop_fused_overlaps,
+        device_pipeline=not args.host_pipeline,
     )
     overlaps = map_reads(query_parser, target_parser, params, all_to_all)
     if args.rescue_overlap_ends:

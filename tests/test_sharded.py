@@ -1,7 +1,9 @@
-"""Multi-chip sharding tests on the 8-device virtual CPU mesh (conftest
-forces xla_force_host_platform_device_count=8): data-parallel POA via
-shard_map around the per-window kernel, sharded matcher counting with ICI
-psum, and the aligner's sharded forward step."""
+"""Multi-chip sharding tests: data-parallel POA via shard_map around the
+per-window kernel, sharded matcher counting with ICI psum, and the
+aligner's sharded forward step. The full 8-device virtual CPU mesh runs
+in a subprocess (see conftest.mesh_subprocess_env — the axon tunnel
+exposes one chip and its sitecustomize overrides JAX_PLATFORMS in-process);
+in-process mesh tests skip unless multiple devices are visible."""
 
 import numpy as np
 import pytest
@@ -33,11 +35,9 @@ def test_multichip_dryrun_subprocess():
     import subprocess
     import sys
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    from tests.conftest import mesh_subprocess_env
+
+    env = mesh_subprocess_env(8)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "__graft_entry__.py")],
