@@ -48,6 +48,19 @@ if not _os.environ.get("GW_TPU_NO_CACHE"):
     except Exception:  # pragma: no cover - jax absent or too old
         pass
 
+# Backend override: GW_PLATFORM=cpu forces the CPU backend. Needed because
+# some TPU PJRT plugins register via sitecustomize and override the
+# JAX_PLATFORMS env var; jax.config.update after import is the only
+# selection mechanism that always works.
+_plat = _os.environ.get("GW_PLATFORM")
+if _plat:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:  # pragma: no cover
+        pass
+
 
 def version() -> str:
     """Framework version (reference: common/base version.hpp)."""
