@@ -98,11 +98,19 @@ def _poa_kernel(
                   # scratch (see scratch_shapes order in poa_consensus_pallas)
     S: int, L: int, N: int, E: int, A: int, C: int, Lp: int,
     gap: int, mismatch: int, match: int, MSA: bool = False, G: int = 1,
-    PH: int = 0b11111, INTERP: bool = False,
+    PH: int = 0b11111, INTERP: bool = False, BAND: int = 0,
 ):
     # PH: static phase bitmask for perf attribution (experiments/
     # poa_phase_profile.py). 1=NW, 2=traceback(+start finder), 4=add,
     # 8=topsort, 16=consensus. Production always runs 0b11111.
+    #
+    # BAND > 0: static-band NW (cudapoa_nw_banded.cuh semantics, exact to
+    # poa/banded.py with adaptive=False). Score/code rows hold band slots
+    # 1..BAND at lanes 0..BAND-1 (lane l = column band_start+l+1); the
+    # slot-0 "merged column -1" boundary lives in SMEM (s_bnd) with its
+    # traceback code in s_c0c. Predecessor rows are realigned with a
+    # dynamic pltpu.roll by the band-start delta; the reference's
+    # chunk-of-4 conservative edge guard is reproduced per lane.
     if MSA:
         (msa_ref, mlen_ref,
          scores, codes, colv,
@@ -111,14 +119,21 @@ def _poa_kernel(
          s_csc, s_cpr,
          s_in_e, s_in_w, s_out_e, s_al,
          s_ag, s_ar, sm, s_colv, dma_sem,
-         s_next, s_begin, s_mark, s_chk, s_stack, s_col) = rest
+         *tail) = rest
+        if BAND:
+            (s_next, s_begin, s_mark, s_chk, s_stack, s_col,
+             s_bnd, s_c0c) = tail
+        else:
+            (s_next, s_begin, s_mark, s_chk, s_stack, s_col) = tail
     else:
         (scores, codes, colv,
          s_node, s_inc, s_outc, s_alc, s_cov,
          s_sort, s_pos, s_ocs, s_loc,
          s_csc, s_cpr,
          s_in_e, s_in_w, s_out_e, s_al,
-         s_ag, s_ar, sm, s_colv, dma_sem) = rest
+         s_ag, s_ar, sm, s_colv, dma_sem, *tail) = rest
+        if BAND:
+            s_bnd, s_c0c = tail
     K = N + L
     KP = K + 8
     MN = N + 8
@@ -241,7 +256,209 @@ def _poa_kernel(
             )  # (G, L)
 
             # ---------------- NW (cudapoa_nw.cuh) -------------------------
-            if PH & 1:
+            if BAND:
+                # static-band NW (cudapoa_nw_banded.cuh via poa/banded.py)
+                f32 = jnp.float32
+                iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, BAND), 1)
+                slope_b = f32(gap) * iota_b.astype(f32)
+                mcs = [rls[g] + 1 for g in rg]
+                grads = [
+                    (rls[g] + 1).astype(f32)
+                    / jnp.maximum(ncs[g] + 1, 1).astype(f32)
+                    for g in rg
+                ]
+                BSH = BAND // 2  # band_shift (ad-hoc rule 4)
+
+                def bs_of(row, g):
+                    """get_band_start_for_row (banded.py:43-49); f32
+                    row*gradient truncation as in the reference."""
+                    di = (row.astype(f32) * grads[g]).astype(jnp.int32)
+                    sp = jnp.maximum(0, di - BSH)
+                    sp = jnp.where(
+                        mcs[g] < sp + BAND,
+                        jnp.maximum(0, mcs[g] - BAND + 4),
+                        sp,
+                    )
+                    return sp - sp % 4
+
+                # 0-padded reads (banded.py read_pad semantics: chars past
+                # the read length compare as code 0)
+                reads0 = jnp.concatenate(
+                    [
+                        jnp.where(iota_l < rls[g], seqs_ref[g, pl.ds(s, 1), :], 0)
+                        for g in rg
+                    ],
+                    axis=0,
+                ) if G > 1 else jnp.where(
+                    iota_l < rls[0], seqs_ref[0, pl.ds(s, 1), :], 0
+                )  # (G, L)
+                reads_pad = jnp.pad(reads0, ((0, 0), (0, Lp - L)))  # (G, Lp)
+
+                if PH & 1:
+                    for g in rg:
+                        # row 0: scores[0, slot k] = k*gap -> lane l =
+                        # (l+1)*gap; boundary slot 0 = 0
+                        scores[g * R1 : g * R1 + 1, :] = (
+                            slope_b + f32(gap)
+                        )
+                        s_bnd[g * R1] = f32(0)
+                        s_c0c[g * R1] = jnp.int32(HORIZ)
+
+                def banded_row_body(gp, _):
+                    acts = [runs[g] & (gp < ncs[g]) for g in rg]
+                    row = gp + 1
+                    nids = [
+                        jnp.where(
+                            acts[g], cn(s_sort[nd(g, cn(gp, N - 1))], N - 1), N
+                        )
+                        for g in rg
+                    ]
+                    pcs = [
+                        jnp.where(acts[g], cn(s_inc[nd(g, nids[g])], E), 0)
+                        for g in rg
+                    ]
+                    bss = [bs_of(row, g) for g in rg]
+
+                    # boundary value + its traceback code (banded.py:136-148)
+                    fes, c0s = [], []
+                    for g in rg:
+                        def fe_body(e, carry):
+                            best, beste = carry
+                            pe = cn(s_in_e[ed(g, nids[g] * E + cn(e, E - 1))], N)
+                            pi = cn(s_pos[nd(g, pe)] + 1, N)
+                            v = s_bnd[g * R1 + jnp.where(pcs[g] > 0, pi, 0)]
+                            take = (e < pcs[g]) & (v > best)
+                            return (
+                                jnp.where(take, v, best),
+                                jnp.where(take, e, beste),
+                            )
+
+                        pen, ebest = jax.lax.fori_loop(
+                            0, jnp.maximum(pcs[g], 1), fe_body,
+                            (fNEG, jnp.int32(0)),
+                        )
+                        fe = jnp.where(
+                            pcs[g] == 0,
+                            f32(gap),  # vertical from row 0 (score 0)
+                            jnp.where(
+                                (bss[g] > 4) & (pcs[g] == 1),
+                                fNEG,  # MIN + gap collapses in f32
+                                pen + f32(gap),
+                            ),
+                        )
+                        c0 = E + jnp.where(pcs[g] == 0, 0, ebest)
+                        dst = sel(acts[g], row, 0)
+                        # row 0's slot is rewritten only by inactive scrap
+                        # writes; restore it afterwards
+                        s_bnd[g * R1 + dst] = jnp.where(acts[g], fe, f32(0))
+                        s_c0c[g * R1 + dst] = jnp.where(acts[g], c0, HORIZ)
+                        fes.append(fe)
+                        c0s.append(c0)
+
+                    # per-window profile: lane l compares read[bs+l]
+                    gb_vec = vecg([s_node[nd(g, nids[g])] for g in rg], jnp.int32)
+                    shifted = [
+                        pltpu.roll(
+                            reads_pad[g : g + 1, :], shift=-bss[g], axis=1
+                        )[:, :BAND]
+                        for g in rg
+                    ]
+                    rd = (
+                        jnp.concatenate(shifted, axis=0) if G > 1 else shifted[0]
+                    )  # (G, BAND)
+                    sub = jnp.where(rd == gb_vec, match, mismatch).astype(f32)
+
+                    max_pc = _maxs(pcs)
+
+                    def banded_pred(e, carry):
+                        val, code = carry
+                        cand_d, cand_v = [], []
+                        for g in rg:
+                            pe = cn(s_in_e[ed(g, nids[g] * E + cn(e, E - 1))], N)
+                            pi = jnp.where(
+                                pcs[g] == 0, 0, cn(s_pos[nd(g, pe)] + 1, N)
+                            )
+                            pbs = bs_of(pi, g)
+                            delta = bss[g] - pbs
+                            prow = scores[pl.ds(g * R1 + pi, 1), :]
+                            vert = pltpu.roll(prow, shift=-delta, axis=1)
+                            diag = pltpu.roll(vert, shift=1, axis=1)
+                            diag = jnp.where(
+                                iota_b + delta == 0, s_bnd[g * R1 + pi], diag
+                            )
+                            # chunk-of-4 conservative guard (banded.py:165-170)
+                            rp = bss[g] + (iota_b & ~3)
+                            pbe = jnp.minimum(pbs + BAND - 4, mcs[g])
+                            ok = (rp >= pbs) & (rp <= pbe)
+                            me = (e < pcs[g]) | ((e == 0) & (pcs[g] == 0))
+                            ok = ok & me
+                            cand_d.append(jnp.where(ok, diag, fNEG))
+                            cand_v.append(jnp.where(ok, vert, fNEG))
+                        dg = (
+                            jnp.concatenate(cand_d, axis=0)
+                            if G > 1 else cand_d[0]
+                        ) + sub
+                        vt = (
+                            jnp.concatenate(cand_v, axis=0)
+                            if G > 1 else cand_v[0]
+                        ) + f32(gap)
+                        for cand, cc in ((dg, e), (vt, E + e)):
+                            better = cand > val
+                            tie = cand == val
+                            code = jnp.where(
+                                better, cc,
+                                jnp.where(tie, jnp.minimum(code, cc), code),
+                            )
+                            val = jnp.maximum(val, cand)
+                        return val, code
+
+                    val0 = jnp.full((G, BAND), fNEG, f32)
+                    code0 = jnp.full((G, BAND), BIGP, jnp.int32)
+                    val, code = jax.lax.fori_loop(
+                        0, jnp.maximum(max_pc, 1), banded_pred, (val0, code0)
+                    )
+
+                    # in-band horizontal closure seeded from the boundary
+                    fe_vec = vecg(fes, f32)
+                    pre = jnp.where(
+                        iota_b == 0, jnp.maximum(val, fe_vec + f32(gap)), val
+                    )
+                    m = pre - slope_b
+                    sh = 1
+                    while sh < BAND:
+                        m = jnp.maximum(
+                            m,
+                            jnp.pad(
+                                m, ((0, 0), (sh, 0)), constant_values=NEG
+                            )[:, :BAND],
+                        )
+                        sh *= 2
+                    rowv = m + slope_b
+                    prevv = jnp.where(
+                        iota_b == 0, fe_vec,
+                        jnp.pad(rowv, ((0, 0), (1, 0)))[:, :BAND],
+                    )
+                    horiz = rowv == prevv + f32(gap)
+                    fin = jnp.where(rowv == val, code, BIGP)
+                    fin = jnp.minimum(fin, jnp.where(horiz, HORIZ, BIGP))
+                    for g in rg:
+                        dst = sel(acts[g], g * R1 + row, g * R1)
+                        row_out = jnp.where(
+                            acts[g], rowv[g : g + 1, :],
+                            scores[pl.ds(g * R1, 1), :],
+                        )
+                        fin_out = jnp.where(
+                            acts[g], fin[g : g + 1, :],
+                            codes[pl.ds(g * R1, 1), :],
+                        )
+                        scores[pl.ds(dst, 1), :] = row_out
+                        codes[pl.ds(dst, 1), :] = fin_out
+                    return 0
+
+                if PH & 1:
+                    jax.lax.fori_loop(0, max_nc, banded_row_body, 0)
+
+            if PH & 1 and not BAND:
                 for g in rg:
                     scores[g * R1 : g * R1 + 1, :] = slope_f
 
@@ -340,7 +557,7 @@ def _poa_kernel(
                     codes[pl.ds(g * R1 + gp + 1, 1), :] = fin[g : g + 1, :]
                 return 0
 
-            if PH & 1:
+            if PH & 1 and not BAND:
                 jax.lax.fori_loop(0, max_nc, row_body, 0)
 
             if PH & 2:
@@ -351,12 +568,44 @@ def _poa_kernel(
                 # 2-D (X, 1) SMEM scratch gets lane-padded to (X, 128).
                 for g in rg:
                     blk = scores[g * R1 : (g + 1) * R1, :]
-                    mask = (iota_lp == rls[g]).astype(jnp.float32)
-                    cv = jax.lax.dot_general(
-                        mask, blk,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (1, R1) lane-major
+                    if BAND:
+                        # per-row band: column rl sits at lane rl-bs(r)-1;
+                        # out-of-band rows read MIN (banded get_score)
+                        iota_r = jax.lax.broadcasted_iota(
+                            jnp.int32, (R1, 1), 0
+                        )
+                        di = (iota_r.astype(jnp.float32) * grads[g]).astype(
+                            jnp.int32
+                        )
+                        spv = jnp.maximum(0, di - BSH)
+                        spv = jnp.where(
+                            mcs[g] < spv + BAND,
+                            jnp.maximum(0, mcs[g] - BAND + 4),
+                            spv,
+                        )
+                        bs_vec = spv - spv % 4  # (R1, 1)
+                        lane_t = rls[g] - bs_vec - 1
+                        iota_bl = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, BAND), 1
+                        )
+                        mm = iota_bl == lane_t  # (R1, BAND)
+                        oob = (lane_t < 0) | (lane_t >= BAND)
+                        prod = jnp.where(mm, blk, 0.0) + jnp.where(
+                            (iota_bl == 0) & oob, fNEG, 0.0
+                        )
+                        ones_b = jnp.ones((1, BAND), jnp.float32)
+                        cv = jax.lax.dot_general(
+                            ones_b, prod,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (1, R1)
+                    else:
+                        mask = (iota_lp == rls[g]).astype(jnp.float32)
+                        cv = jax.lax.dot_general(
+                            mask, blk,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (1, R1) lane-major
                     colv[pl.ds(g * R1, R1)] = cv[0, :]
                 if not INTERP:
                     cpy = pltpu.make_async_copy(colv, s_colv, dma_sem)
@@ -398,6 +647,9 @@ def _poa_kernel(
                     alive = _anys([(iis[g] != 0) | (jjs[g] != 0) for g in rg])
                     return alive & (steps < K + 2)
 
+                TERM = BIGP       # walk ends with a final (nid/-1, j-1) entry
+                BCELL = BIGP + 1  # boundary-cell visit: host banded fallback
+
                 def tb_body(c):
                     iis, jjs, kks, steps = c
                     nis, njs, nks = [], [], []
@@ -405,17 +657,42 @@ def _poa_kernel(
                         i, j, k = iis[g], jjs[g], kks[g]
                         alive = (i != 0) | (j != 0)
                         crow = codes[pl.ds(g * R1 + cn(i, N), 1), :]
-                        cd = jnp.sum(jnp.where(iota_lp == j, crow, 0))
-                        cd = jnp.where(alive & (i != 0), cd, HORIZ)
+                        if BAND:
+                            bs_i = bs_of(cn(i, N), g)
+                            lane = j - bs_i - 1
+                            cd_in = jnp.sum(jnp.where(iota_b == lane, crow, 0))
+                            c0 = s_c0c[g * R1 + cn(i, N)]
+                            row0_in = j <= jnp.minimum(BAND, mcs[g])
+                            cd = jnp.where(
+                                i == 0,
+                                jnp.where(row0_in, HORIZ, TERM),
+                                jnp.where(
+                                    j == 0, c0,
+                                    jnp.where(
+                                        (lane >= 0) & (lane < BAND), cd_in,
+                                        jnp.where(lane == -1, BCELL, TERM),
+                                    ),
+                                ),
+                            )
+                            cd = jnp.where(alive, cd, HORIZ)
+                            bad = alive & (cd == BCELL)
+                            sm[g * 8 + 1] = jnp.where(bad, 3, sm[g * 8 + 1])
+                            cd = jnp.where(bad, TERM, cd)
+                        else:
+                            cd = jnp.sum(jnp.where(iota_lp == j, crow, 0))
+                            cd = jnp.where(alive & (i != 0), cd, HORIZ)
+                        is_term = cd == TERM if BAND else jnp.bool_(False)
                         is_horiz = cd == HORIZ
                         is_diag = cd < E
-                        e = jnp.where(is_horiz, 0, cd % E)
+                        e = jnp.where(is_horiz | is_term, 0, cd % E)
                         nid = cn(s_sort[nd(g, cn(i - 1, N - 1))], N - 1)
                         pc = s_inc[nd(g, nid)]
                         pred = cn(s_in_e[ed(g, nid * E + cn(e, E - 1))], N - 1)
                         pi = jnp.where(pc == 0, 0, cn(s_pos[nd(g, pred)] + 1, N))
-                        prev_i = jnp.where(is_horiz, i, pi)
-                        prev_j = jnp.where(is_horiz | is_diag, j - 1, j)
+                        prev_i = jnp.where(is_term, 0, jnp.where(is_horiz, i, pi))
+                        prev_j = jnp.where(
+                            is_term, 0, jnp.where(is_horiz | is_diag, j - 1, j)
+                        )
                         dst = kd(g, sel(alive, cn(k, KP - 2), KP - 1))
                         s_ag[dst] = jnp.where(prev_i == i, -1, nid)
                         s_ar[dst] = jnp.where(prev_j == j, -1, j - 1)
@@ -946,14 +1223,15 @@ def _poa_kernel(
     jax.jit,
     static_argnames=(
         "S", "L", "N", "E", "A", "gap", "mismatch", "match", "interpret",
-        "msa", "phases", "windows_per_step",
+        "msa", "phases", "windows_per_step", "band_width",
     ),
 )
 def poa_consensus_pallas(seqs, wts, lens, nseqs,
                          S: int, L: int, N: int, E: int, A: int,
                          gap: int = -8, mismatch: int = -6, match: int = 8,
                          interpret: bool | None = None, msa: bool = False,
-                         phases: int = 0b11111, windows_per_step: int = 1):
+                         phases: int = 0b11111, windows_per_step: int = 1,
+                         band_width: int = 0):
     """Run the full POA chain, ``windows_per_step`` (G) windows per grid
     step. seqs/wts (B, S, L) i32, lens (B, S) i32, nseqs (B,) i32; B must
     be a multiple of G (pad with nseqs == 0 windows, which report err=1
@@ -962,9 +1240,18 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
     additionally (msa (B, S, C) i32 gapped rows, msa_len (B,)).
 
     Note: alignment lists share the per-node stride E with edge lists
-    (A <= E is required; both are 50 in the reference)."""
+    (A <= E is required; both are 50 in the reference).
+
+    ``band_width`` > 0 selects the static-band NW variant
+    (cudapoa_nw_banded.cuh semantics, bit-exact to poa/banded.py with
+    adaptive=False); must be a positive multiple of 128. Windows whose
+    traceback visits a merged-boundary cell (the reference's slot-0
+    conflation, reachable only on degenerate inputs) report err=3 for a
+    host banded rerun."""
     if A > E:
         raise ValueError("kernel requires max_alignments <= max_edges")
+    if band_width and (band_width < 128 or band_width % 128):
+        raise ValueError("band_width must be a positive multiple of 128")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # transfers ride a ~50 MB/s tunnel: accept narrow dtypes + broadcastable
@@ -989,8 +1276,9 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         _poa_kernel,
         S=S, L=L, N=N, E=E, A=A, C=C, Lp=Lp,
         gap=gap, mismatch=mismatch, match=match, MSA=msa, G=G, PH=phases,
-        INTERP=interpret,
+        INTERP=interpret, BAND=band_width,
     )
+    Wv = band_width if band_width else Lp  # score/code row width
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -1012,8 +1300,8 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
             pl.BlockSpec((G, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ] if msa else []),
         scratch_shapes=[
-            pltpu.VMEM((G * R1, Lp), jnp.float32),  # scores
-            pltpu.VMEM((G * R1, Lp), jnp.int32),    # codes
+            pltpu.VMEM((G * R1, Wv), jnp.float32),  # scores
+            pltpu.VMEM((G * R1, Wv), jnp.int32),    # codes
             pltpu.VMEM((G * R1,), jnp.float32),     # colv (col-rl extraction)
             pltpu.SMEM((G * MN,), jnp.int32),   # s_node
             pltpu.SMEM((G * MN,), jnp.int32),   # s_inc
@@ -1042,7 +1330,10 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
             pltpu.SMEM((N + 8,), jnp.int32),       # s_chk
             pltpu.SMEM((2 * N + 8,), jnp.int32),   # s_stack
             pltpu.SMEM((N + 8,), jnp.int32),       # s_col
-        ] if msa else []),
+        ] if msa else []) + ([
+            pltpu.SMEM((G * R1 + 8,), jnp.float32),  # s_bnd (slot-0 bound)
+            pltpu.SMEM((G * R1 + 8,), jnp.int32),    # s_c0c (boundary code)
+        ] if band_width else []),
     )
 
     out = pl.pallas_call(

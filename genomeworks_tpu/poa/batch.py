@@ -371,7 +371,12 @@ class PoaBatch:
 
     def _generate_banded_strict(self) -> None:
         """Exact banded-NW chain per window (cudapoa_nw_banded.cuh +
-        rerun protocol) — host path, bit-faithful banded semantics."""
+        rerun protocol). Static-band consensus runs the TPU kernel's
+        banded NW variant (ops/poa_pallas.py, bit-exact to poa/banded.py)
+        with per-window host fallback; other combinations run the host
+        chain directly."""
+        import jax
+
         from genomeworks_tpu.poa.cpu_reference import PoaError, poa_consensus, poa_msa
 
         cfg = self.batch_config
@@ -381,6 +386,33 @@ class PoaBatch:
             BandMode.static_band_traceback: "static_band",
             BandMode.adaptive_band_traceback: "adaptive_band",
         }[cfg.band_mode]
+
+        if (
+            mode == "static_band"
+            and self.output_mask == OutputType.consensus
+            and jax.default_backend() != "cpu"
+        ):
+            cons, cov, cst = jax_poa.poa_batch_consensus_banded(
+                self._groups,
+                gap=self.gap_score,
+                mismatch=self.mismatch_score,
+                match=self.match_score,
+                max_nodes=cfg.max_nodes_per_graph,
+                band_width=cfg.alignment_band_width,
+                weights=self._weights,
+            )
+            self._consensus_cache = (
+                [c if s == 0 else "" for c, s in zip(cons, cst)],
+                [
+                    v if s == 0 else np.zeros(0, np.int32)
+                    for v, s in zip(cov, cst)
+                ],
+                [_JAX_STATUS.get(s, StatusType.generic_error) for s in cst],
+            )
+            self._state = None
+            self._nseqs = None
+            self._generated = True
+            return
         kw = dict(
             gap=self.gap_score, mismatch=self.mismatch_score,
             match=self.match_score, max_nodes=cfg.max_nodes_per_graph,

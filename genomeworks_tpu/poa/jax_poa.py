@@ -1550,6 +1550,142 @@ def poa_batch_consensus(
     return out_cons, out_cov, out_status
 
 
+def _pallas_banded_plan(windows, max_nodes, max_edges, max_alignments,
+                        band_width):
+    """Shape plan for the static-band kernel: identical SMEM budget to
+    _pallas_poa_plan but score/code rows are band_width wide (plus the
+    SMEM boundary arrays), so much longer windows fit on-chip."""
+    if band_width < 128 or band_width % 128:
+        return None
+    Lmax = max(max(len(s) for s in w) for w in windows)
+    Smax = max(len(w) for w in windows)
+    L = ((Lmax + 63) // 64) * 64
+    S = max(2, ((Smax + 1) // 2) * 2)
+    Lp = ((L + 1 + 127) // 128) * 128
+    if Lp < L + 9:  # banded read roll must not wrap into live lanes
+        return None
+    N_full = 3 * L if max_nodes is None else min(max_nodes, 3 * L)
+    if N_full < Lmax or max_edges > 128 or max_alignments > max_edges:
+        return None
+    n_cands = sorted(
+        {N_full, min(N_full, 2 * L), min(N_full, (3 * L) // 2),
+         min(N_full, max(512, Lmax + 2))},
+        reverse=True,
+    )
+    n_cands = [n for n in n_cands if n > Lmax]
+    e_cands = [e for e in (max_edges, 24, 16) if e <= max_edges]
+    for G in (4, 3, 2, 1):
+        for E_k in e_cands:
+            for N in n_cands:
+                K = N + L
+                w = (
+                    11 * (N + 8) + 4 * (N * E_k + 8) + 2 * (K + 8)
+                    + 4 * S * L + 2 * N + 8 + (N + 1) + 16
+                    + 2 * (N + 1 + 8)  # s_bnd + s_c0c
+                )
+                if w * G * 4 > 900_000:
+                    continue
+                vmem = G * (
+                    (N + 1) * (2 * band_width + 1) * 4 + 2 * S * L * 4
+                )
+                if vmem > 14_000_000:
+                    continue
+                return S, L, N, E_k, G
+    return None
+
+
+def poa_batch_consensus_banded(
+    windows: list[list[str]],
+    gap: int = -8,
+    mismatch: int = -6,
+    match: int = 8,
+    max_nodes: int | None = None,
+    band_width: int = 256,
+    weights: list[list[np.ndarray]] | None = None,
+    use_pallas: bool | None = None,
+) -> tuple[list[str], list[np.ndarray], list[int]]:
+    """Static-band POA consensus — the TPU kernel realization of
+    cudapoa_nw_banded.cuh (static mode), bit-exact to the host chain
+    cpu_reference.poa_consensus(band_mode="static_band"). Windows the
+    kernel flags (boundary-cell traceback, capacity overflow) are re-run
+    through the host banded chain. Returns (consensus, coverage, status)
+    with jax_poa's internal status codes (0 ok)."""
+    from genomeworks_tpu.poa.cpu_reference import PoaError, poa_consensus
+    from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    plan = (
+        _pallas_banded_plan(
+            windows, max_nodes, MAX_NODE_EDGES, MAX_NODE_ALIGNMENTS,
+            band_width,
+        )
+        if use_pallas
+        else None
+    )
+
+    def host_one(b):
+        try:
+            c, v = poa_consensus(
+                windows[b], weights[b] if weights else None, gap, mismatch,
+                match, max_nodes, band_mode="static_band",
+                band_width=band_width,
+            )
+            return c, v, 0
+        except PoaError as e:
+            code = {
+                "node_count_exceeded_maximum_graph_size": 1,
+                "edge_count_exceeded_maximum_graph_size": 2,
+                "loop_count_exceeded_upper_bound": 3,
+            }.get(str(e), 3)
+            return "", np.zeros(0, np.int32), code
+
+    if plan is None:
+        out = [host_one(b) for b in range(len(windows))]
+        return [o[0] for o in out], [o[1] for o in out], [o[2] for o in out]
+
+    S, L, N, E_k, G = plan
+    seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
+    B = len(windows)
+    pad = (-B) % G
+    if pad:
+        seqs = np.concatenate([seqs, np.zeros((pad, S, L), np.int32)])
+        wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
+        lens = np.concatenate([lens, np.zeros((pad, S), np.int32)])
+        nseqs = np.concatenate([nseqs, np.zeros(pad, np.int32)])
+    wts_dev = (
+        jnp.ones((1, 1, 1), jnp.int32) if weights is None
+        else jnp.asarray(wts)
+    )
+    cons, cov, length, err = poa_consensus_pallas(
+        jnp.asarray(seqs.astype(np.uint8)), wts_dev, jnp.asarray(lens),
+        jnp.asarray(nseqs),
+        S=S, L=L, N=N, E=E_k, A=min(MAX_NODE_ALIGNMENTS, E_k),
+        gap=gap, mismatch=mismatch, match=match, windows_per_step=G,
+        band_width=band_width,
+    )
+    cons = np.asarray(cons)
+    cov = np.asarray(cov)
+    length = np.asarray(length)
+    err = np.asarray(err)
+    out_cons, out_cov, out_status = [], [], []
+    for b in range(len(windows)):
+        if err[b] != 0:
+            # host banded rerun: exact semantics incl. capacity errors
+            c, v, st = host_one(b)
+            out_cons.append(c)
+            out_cov.append(v)
+            out_status.append(st)
+        else:
+            k = int(length[b])
+            out_cons.append(
+                bytes(cons[b, :k][::-1].astype(np.uint8)).decode("latin1")
+            )
+            out_cov.append(cov[b, :k][::-1].copy())
+            out_status.append(0)
+    return out_cons, out_cov, out_status
+
+
 def _racon_sort_host(n, in_edges, in_count, al, al_count):
     """Host half of the MSA finishing pass: raconTopologicalSortDeviceUtil
     (cudapoa_topsort.cuh:104) + getNodeIDToMSAPosDevice
