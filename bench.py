@@ -1,15 +1,21 @@
-"""Benchmark driver: prints ONE JSON line with the headline metric.
+"""Benchmark driver: prints ONE JSON line per metric, headline last.
 
 Headline: POA consensus throughput (windows/s) on the per-window Pallas
 kernel (the flagship compute path, reference: cudapoa generatePOAKernel),
 measured on the reference benchmark's workload shape (racon-style windows,
 ~250 bp reads, 8 reads/window — cudapoa/benchmarks BM_SingleBatchTest).
-vs_baseline compares against the single-core CPU SPOA-equivalent (this
-repo's cpu_reference implementation of the identical algorithm chain,
-NumPy-vectorized DP rows).
 
-Secondary metrics (also printed, one JSON line each, headline last):
-- banded pairwise alignment throughput (Gcells/s, reference: cudaaligner).
+vs_baseline is HONEST: the single-core native C++ scalar implementation of
+the identical algorithm chain (native/spoa_cpu.cpp, bit-identical outputs,
+auto-vectorized by g++ — a fair stand-in for real SPOA). The r1 bench
+compared against a NumPy-vectorized Python baseline, which understates a
+CPU core by ~50x; that multiple is still printed as
+poa_vs_numpy_baseline for continuity.
+
+Secondary metrics:
+- banded pairwise alignment throughput (Gcells/s, reference: cudaaligner)
+- overlap mapping throughput (reads/s on covid all-vs-all, device-resident
+  pipeline, reference: cudamapper tool)
 """
 
 import json
@@ -63,6 +69,54 @@ def bench_poa_cpu(B=8, S=8, Lb=250, iters=3):
     return B / float(np.median(times))
 
 
+def bench_poa_cpu_native(B=64, S=8, Lb=250, iters=3):
+    """Honest single-core baseline: native scalar C++ POA
+    (native/spoa_cpu.cpp), bit-identical outputs to cpu_reference."""
+    from genomeworks_tpu.poa import native_baseline
+
+    if not native_baseline.available():
+        return None
+    windows = _make_windows(B, S, Lb)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        for w in windows:
+            native_baseline.poa_consensus_native(w)
+        times.append(time.perf_counter() - t0)
+    return B / float(np.median(times))
+
+
+def bench_mapper(iters=2):
+    """Overlap mapping reads/s: covid all-vs-all through the
+    device-resident pipeline (sketch -> index -> anchors -> chains on the
+    accelerator), post-processing on host — the cudamapper tool flow."""
+    from genomeworks_tpu.io.fasta import create_fasta_parser
+    from genomeworks_tpu.mapper.device_pipeline import (
+        build_index_device,
+        get_overlaps_device_pipeline,
+    )
+    from genomeworks_tpu.mapper.overlapper import post_process_overlaps
+
+    p = create_fasta_parser(
+        "/root/reference/cudamapper/data/covid-reads.fasta.gz"
+    )
+    n_reads = len(p)
+
+    def run():
+        idx = build_index_device(p, 0, n_reads, filtering_parameter=0.001)
+        ov = get_overlaps_device_pipeline(idx, idx, all_to_all=True)
+        return post_process_overlaps(ov, False)
+
+    ov = run()  # compile + warm
+    assert len(ov) > 100_000
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return n_reads / float(np.median(times))
+
+
 def bench_aligner(B=1024, M=2048, N=2048, W=256, iters=5):
     import jax.numpy as jnp
     from genomeworks_tpu.ops.banded_nw_pallas import banded_nw_forward_pallas
@@ -93,13 +147,40 @@ def main():
         "vs_baseline": None,
     }))
 
+    try:
+        reads_per_s = bench_mapper()
+        print(json.dumps({
+            "metric": "overlap_mapping_throughput",
+            "value": round(reads_per_s, 1),
+            "unit": "reads/s",
+            "vs_baseline": None,
+        }))
+    except Exception as e:  # keep the headline metric alive
+        print(json.dumps({
+            "metric": "overlap_mapping_throughput",
+            "value": None,
+            "unit": "reads/s",
+            "vs_baseline": None,
+            "error": str(e)[:120],
+        }))
+
     tpu_wps = bench_poa_tpu()
-    cpu_wps = bench_poa_cpu()
+    cpu_np_wps = bench_poa_cpu()
+    cpu_native_wps = bench_poa_cpu_native()
+    print(json.dumps({
+        "metric": "poa_vs_numpy_baseline",
+        "value": round(tpu_wps / cpu_np_wps, 2),
+        "unit": "x",
+        "vs_baseline": None,
+    }))
     print(json.dumps({
         "metric": "poa_consensus_throughput",
         "value": round(tpu_wps, 1),
         "unit": "windows/s",
-        "vs_baseline": round(tpu_wps / cpu_wps, 2),
+        # honest baseline: native scalar C++ chain, single core
+        "vs_baseline": (
+            round(tpu_wps / cpu_native_wps, 2) if cpu_native_wps else None
+        ),
     }))
 
 
