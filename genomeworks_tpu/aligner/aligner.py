@@ -50,13 +50,23 @@ class Aligner:
         max_target_length: int | None = None,
         max_alignments_per_launch: int = 512,
         use_pallas: bool | None = None,
+        engine: str = "myers",
     ):
+        """``engine``: "myers" (bit-parallel banded Myers forward,
+        ops/myers_banded_pallas.py — 32 cells per int32 op, the analogue
+        of the reference's primary myers_banded_gpu path) or "nw" (the
+        per-cell banded wavefront, ops/banded_nw_pallas.py). Both feed the
+        same device RLE traceback and produce identical paths under the
+        band-retry protocol."""
         self.max_bandwidth = max_bandwidth
         if use_pallas is None:
             import jax
 
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        if engine not in ("myers", "nw"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self.max_query_length = max_query_length
         self.max_target_length = max_target_length
         self.max_alignments_per_launch = max_alignments_per_launch
@@ -152,8 +162,14 @@ class Aligner:
 
     def _run_bucket(self, idxs: list[int], mq: int, mt: int, bw: int) -> list[Alignment]:
         B = len(idxs)
-        # the Pallas path wants the batch padded to a multiple of 8
-        B_pad = ((B + 7) // 8) * 8 if self.use_pallas else B
+        # the Pallas NW path wants the batch padded to a multiple of 8;
+        # the bit-parallel Myers engine batches 128 alignments per vreg lane
+        if self.use_pallas and self.engine == "myers":
+            B_pad = ((B + 127) // 128) * 128
+        elif self.use_pallas:
+            B_pad = ((B + 7) // 8) * 8
+        else:
+            B_pad = B
         q = np.zeros((B_pad, mq), dtype=np.uint8)
         t = np.zeros((B_pad, mt), dtype=np.uint8)
         # padded base codes must never spuriously match: pad query with 1,
@@ -181,9 +197,20 @@ class Aligner:
                 rle_traceback_pallas,
             )
 
-            codes, fits = banded_nw_forward_pallas(
-                jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), bw
-            )
+            if self.engine == "myers":
+                from genomeworks_tpu.ops.myers_banded_pallas import (
+                    myers_banded_forward_pallas,
+                )
+
+                codes, fits = myers_banded_forward_pallas(
+                    jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
+                    jnp.asarray(tlen), bw,
+                )
+            else:
+                codes, fits = banded_nw_forward_pallas(
+                    jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
+                    jnp.asarray(tlen), bw,
+                )
             # traceback stays on device; D2H is the RLE runs (~CIGAR-sized),
             # not the M/16 x W code planes (reference: myers_gpu.cu:444-530
             # emits RLE CIGARs device-side too)

@@ -1,0 +1,291 @@
+"""Pallas TPU kernel: bit-parallel banded Myers forward pass.
+
+32 DP cells per int32 op (Hyyrö bit-vectors), the TPU re-design of the
+reference's warp-cooperative banded Myers (cudaaligner/src/myers_gpu.cu:
+78-132 bit blocks, :629-862 banded kernel). Semantics are defined by —
+and bit-identical to — aligner/myers_banded_model.py (windowed=True),
+which in turn yields traceback paths identical to the full-matrix NW
+oracle whenever the path stays off the band edge (the Aligner's existing
+edge-retry protocol covers the rest).
+
+Layout: the serial grid loop runs over query rows (transposed Myers);
+state words PV/MV live in VMEM as (words, 128-batch) with the 32-bit word
+dimension on sublanes; per row the kernel slices the live word window
+(band width/32 + 3 words), computes Eq from pre-shifted target bit tables
+(band offset dlo absorbed host-side, so all in-kernel scheduling is
+batch-uniform), performs the multi-word add with a Kogge-Stone carry
+prefix over sublanes, and emits 2-bit AlignmentState codes column-major.
+An XLA repack (pure vector ops) shears the column-major planes into the
+row-major packed layout of banded_nw_forward_pallas, so the device RLE
+traceback (ops/rle_traceback_pallas.py) and the whole Aligner pipeline
+run unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from genomeworks_tpu.aligner.banded_nw import band_offset
+
+with open(__file__, "rb") as _f:
+    _SRC_TAG = zlib.crc32(_f.read()) & 0x7FFFFFFF
+
+ROWS_PER_WORD = 16  # output plane packing (2-bit codes)
+WBITS = 32
+R_BLOCK = 128
+B_BLOCK = 128
+
+
+def _shift_down(x, s, fill=0):
+    """Shift words toward higher index by s sublanes (word w reads w-s)."""
+    if s == 0:
+        return x
+    pad = jnp.full((s, x.shape[1]), fill, x.dtype)
+    return jnp.concatenate([pad, x[:-s, :]], axis=0)
+
+
+def _srl(x, n):
+    return jax.lax.shift_right_logical(x, jnp.int32(n))
+
+
+def _kernel(
+    qT_ref,    # (R_BLOCK, 128) query chars, transposed block
+    qlen_ref,  # (1, 128)
+    tb0_ref, tb1_ref, val_ref, pv0_ref,  # (NW, 128) word tables
+    c0_ref, c1_ref,  # out (R_BLOCK, WWS, 128) column-major code bit planes
+    pv_s, mv_s,      # scratch (NW, 128)
+    *, WWS: int, NW: int,
+):
+    mi = pl.program_id(1)
+    mone = jnp.int32(-1)
+
+    @pl.when(mi == 0)
+    def _init():
+        pv_s[:, :] = pv0_ref[:, :] | (jnp.int32(_SRC_TAG) & jnp.int32(0))
+        mv_s[:, :] = jnp.zeros((NW, 128), jnp.int32)
+
+    i0 = mi * R_BLOCK
+    qlen = qlen_ref[:, :]  # (1, 128)
+
+    for r in range(R_BLOCK):
+        i = i0 + r + 1  # 1-based DP row
+        wbase = jnp.maximum(i // WBITS - 1, 0)
+        sl = pl.ds(wbase, WWS)
+
+        qrow = qT_ref[pl.ds(r, 1), :]  # (1, 128)
+        s0 = jnp.int32(0) - (qrow & 1)
+        s1 = jnp.int32(0) - ((qrow >> 1) & 1)
+        rv = jnp.int32(0) - (i <= qlen).astype(jnp.int32)  # row-valid mask
+
+        tb0 = tb0_ref[sl, :]
+        tb1 = tb1_ref[sl, :]
+        val = val_ref[sl, :]
+        pv = pv_s[sl, :]
+        mv = mv_s[sl, :]
+
+        eq = (~(tb0 ^ s0)) & (~(tb1 ^ s1)) & val & rv
+
+        xv = eq | mv
+        a = eq & pv
+        s = a + pv  # per-word sum (wraps)
+        # carry generate/propagate, Kogge-Stone prefix over words
+        g = (s.astype(jnp.uint32) < a.astype(jnp.uint32)).astype(jnp.int32)
+        p = (s == mone).astype(jnp.int32)
+        G, P = g, p
+        step = 1
+        while step < WWS:
+            G = G | (P & _shift_down(G, step))
+            P = P & _shift_down(P, step)
+            step *= 2
+        carry = _shift_down(G, 1)  # carry into word w from below
+        s = s + carry
+        xh = (s ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+
+        # (x << 1) across words; shift-in bits at the window base are the
+        # off-band steady state: Ph_in = 1, Mh_in = 0 (model docstring)
+        ph_lo = _shift_down(_srl(ph, 31), 1, fill=1)
+        mh_lo = _shift_down(_srl(mh, 31), 1, fill=0)
+        phs = ((ph << 1) | ph_lo).astype(jnp.int32)
+        mhs = ((mh << 1) | mh_lo).astype(jnp.int32)
+
+        pvn = mhs | ~(xv | phs)
+        mvn = phs & xv
+        pv_s[sl, :] = pvn
+        mv_s[sl, :] = mvn
+
+        # 2-bit codes: 2=insertion (PVn), 3=deletion (Ph), 1=mismatch.
+        # c1 = ins|del ; c0 = del&~ins | ~ins&~del&~eq
+        ins = pvn
+        c1 = ins | ph
+        c0 = (ph & ~ins) | (~ins & ~ph & ~eq)
+        c0_ref[pl.ds(r, 1), :, :] = c0[None, :, :]
+        c1_ref[pl.ds(r, 1), :, :] = c1[None, :, :]
+
+
+def _pack_bits_words(bits, NW):
+    """(B, XS) bool -> (B, NW) int32 words, bit z at word z//32 bit z%32."""
+    B, XS = bits.shape
+    pad = NW * WBITS - XS
+    b = jnp.pad(bits, ((0, 0), (0, pad)))
+    b = b.reshape(B, NW, WBITS).astype(jnp.int32)
+    return (b << jnp.arange(WBITS, dtype=jnp.int32)[None, None, :]).sum(
+        axis=2
+    ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("band_width", "interpret"))
+def myers_banded_forward_pallas(
+    q: jnp.ndarray,  # (B, M) base codes
+    t: jnp.ndarray,  # (B, N)
+    qlen: jnp.ndarray,
+    tlen: jnp.ndarray,
+    band_width: int,
+    interpret: bool | None = None,
+):
+    """Bit-parallel banded Myers. Returns (packed codes (B, M/16, W) int32
+    — same layout/contract as banded_nw_forward_pallas — and fits).
+
+    Constraints: B % 128 == 0, W % 128 == 0, M % 128 == 0."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, M = q.shape
+    N = t.shape[1]
+    W = band_width
+    if W % 128 or M % R_BLOCK or B % B_BLOCK:
+        raise ValueError("B % 128, W % 128 and M % 128 must all be 0")
+
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    dlo = band_offset(qlen, tlen, W).astype(jnp.int32)
+    fits = W >= jnp.abs(tlen - qlen) + 1
+
+    XS = M + W + 2 * WBITS
+    NW = (XS + WBITS - 1) // WBITS
+    WWS = W // WBITS + 3
+
+    # pre-shifted target bit tables over xs = j - dlo (j = target column)
+    xs = jnp.arange(XS, dtype=jnp.int32)
+    j = xs[None, :] + dlo[:, None]
+    jvalid = (j >= 1) & (j <= tlen[:, None])
+    tchar = jnp.take_along_axis(
+        t.astype(jnp.int32), jnp.clip(j - 1, 0, N - 1), axis=1
+    )
+    TB0 = _pack_bits_words(((tchar & 1) != 0) & jvalid, NW)
+    TB1 = _pack_bits_words((((tchar >> 1) & 1) != 0) & jvalid, NW)
+    VAL = _pack_bits_words(jvalid, NW)
+    PV0 = _pack_bits_words(j >= 1, NW)
+
+    # lanes = batch: transpose tables to (NW, B) and q to (M, B)
+    TB0t, TB1t, VALt, PV0t = (x.T for x in (TB0, TB1, VAL, PV0))
+    qT = q.astype(jnp.int32).T  # (M, B)
+
+    grid = (B // B_BLOCK, M // R_BLOCK)
+    kernel = functools.partial(_kernel, WWS=WWS, NW=NW)
+    c0, c1 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R_BLOCK, B_BLOCK), lambda bi, mi: (mi, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_BLOCK), lambda bi, mi: (0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NW, B_BLOCK), lambda bi, mi: (0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NW, B_BLOCK), lambda bi, mi: (0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NW, B_BLOCK), lambda bi, mi: (0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NW, B_BLOCK), lambda bi, mi: (0, bi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R_BLOCK, WWS, B_BLOCK),
+                         lambda bi, mi: (mi, 0, bi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_BLOCK, WWS, B_BLOCK),
+                         lambda bi, mi: (mi, 0, bi), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, WWS, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, WWS, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NW, B_BLOCK), jnp.int32),
+            pltpu.VMEM((NW, B_BLOCK), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qT, qlen[None, :], TB0t, TB1t, VALt, PV0t)
+
+    codes = _repack_rowmajor(c0, c1, M, W, WWS)
+    return codes, fits
+
+
+def _repack_rowmajor(c0, c1, M: int, W: int, WWS: int):
+    """Shear + transpose the column-major code bit planes (M, WWS, B) into
+    the row-major packed layout (B, M/16, W): plane word [(i-1)//16, k]
+    carries 2-bit codes at bit 2*((i-1)%16). Cell (i, k) sits at window
+    bit i%32 + k + 32*(1 - max(i//32-1, 0) ... absorbed below). Pure
+    vector ops (funnel shifts + bit unpack), no gathers."""
+    WB = W // WBITS
+    i = jnp.arange(1, M + 1, dtype=jnp.int32)
+    # window base word of row i in global words: max(i//32 - 1, 0)
+    wbase = jnp.maximum(i // WBITS - 1, 0)
+    # bit position of k=0 within the window: i - 32*wbase
+    off = i - WBITS * wbase  # in [32, 63] (and [1,32] for early rows)
+    osub = off // WBITS  # 0..2: word offset of k=0's word
+    sh = off % WBITS
+
+    def shear(c):  # (M, WWS, B) -> (M, WB, B) funnel to k-aligned words
+        c = jnp.moveaxis(c, 2, 0)  # (B, M, WWS)
+        # select starting word per row: osub in {0,1,2} -> static rolls
+        outs = []
+        for o in range(3):
+            lo = c[:, :, o : o + WB]
+            hi = c[:, :, o + 1 : o + 1 + WB]
+            if lo.shape[2] < WB:
+                lo = jnp.pad(lo, ((0, 0), (0, 0), (0, WB - lo.shape[2])))
+            if hi.shape[2] < WB:
+                hi = jnp.pad(hi, ((0, 0), (0, 0), (0, WB - hi.shape[2])))
+            outs.append((lo, hi))
+        osel = osub[None, :, None]
+        lo = jnp.where(
+            osel == 0, outs[0][0], jnp.where(osel == 1, outs[1][0], outs[2][0])
+        )
+        hi = jnp.where(
+            osel == 0, outs[0][1], jnp.where(osel == 1, outs[1][1], outs[2][1])
+        )
+        shv = sh[None, :, None]
+        lo_u = lo.astype(jnp.uint32)
+        hi_u = hi.astype(jnp.uint32)
+        win = jnp.where(
+            shv == 0,
+            lo_u,
+            (lo_u >> shv.astype(jnp.uint32))
+            | (hi_u << (WBITS - shv).astype(jnp.uint32)),
+        )
+        return win  # (B, M, WB) uint32, bit k%32 of word k//32 = cell k
+
+    w0 = shear(c0)
+    w1 = shear(c1)
+    # unpack bits to 2-bit codes per (B, M, W) then pack 16 rows per word
+    kbit = jnp.arange(WBITS, dtype=jnp.uint32)
+    b0 = ((w0[:, :, :, None] >> kbit) & 1).astype(jnp.int32)
+    b1 = ((w1[:, :, :, None] >> kbit) & 1).astype(jnp.int32)
+    code = (b1 << 1) | b0  # (B, M, WB, 32)
+    B = code.shape[0]
+    code = code.reshape(B, M, W)
+    M16 = M // ROWS_PER_WORD
+    code = code.reshape(B, M16, ROWS_PER_WORD, W)
+    shifts = (2 * jnp.arange(ROWS_PER_WORD, dtype=jnp.int32))[None, None, :, None]
+    return (code << shifts).sum(axis=2).astype(jnp.int32)
