@@ -13,7 +13,11 @@ from genomeworks_tpu.aligner.types import (
     StatusType,
     states_to_cigar,
 )
-from genomeworks_tpu.aligner.aligner import Aligner, create_aligner
+from genomeworks_tpu.aligner.aligner import (
+    Aligner,
+    FixedBandAligner,
+    create_aligner,
+)
 from genomeworks_tpu.aligner.banded_nw import banded_nw_forward, band_offset
 from genomeworks_tpu.aligner.cpu_reference import (
     align_cpu,

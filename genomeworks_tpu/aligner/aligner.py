@@ -268,6 +268,21 @@ def create_aligner(max_bandwidth: int = 1024, **kwargs) -> Aligner:
     return Aligner(max_bandwidth=max_bandwidth, **kwargs)
 
 
+class FixedBandAligner(Aligner):
+    """Reference parity: FixedBandAligner (aligner.hpp:148) — an Aligner
+    whose maximum bandwidth can be re-set between batches."""
+
+    def reset_max_bandwidth(self, max_bandwidth: int) -> None:
+        """Change the band ceiling; requires an empty batch (the reference
+        invalidates any queued alignments, aligner.hpp:156-162 — here we
+        enforce the stronger contract explicitly)."""
+        if self._entries:
+            raise RuntimeError(
+                "reset_max_bandwidth with queued alignments; call reset() first"
+            )
+        self.max_bandwidth = max_bandwidth
+
+
 @dataclasses.dataclass
 class DeviceAlignments:
     """Device-resident alignment results — the TPU counterpart of the

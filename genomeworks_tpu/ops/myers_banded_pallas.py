@@ -233,12 +233,27 @@ def myers_banded_forward_pallas(
 
 def _repack_rowmajor(c0, c1, M: int, W: int, WWS: int):
     """Shear + transpose the column-major code bit planes (M, WWS, B) into
-    the row-major packed layout (B, M/16, W): plane word [(i-1)//16, k]
-    carries 2-bit codes at bit 2*((i-1)%16). Cell (i, k) sits at window
-    bit i%32 + k + 32*(1 - max(i//32-1, 0) ... absorbed below). Pure
-    vector ops (funnel shifts + bit unpack), no gathers."""
+    the row-major packed layout (B, M/16, W). Chunked over M so the
+    (B, Mc, W) unpack intermediate stays bounded (long-sequence support:
+    a 128k-row alignment repacks in 512-row slices instead of
+    materializing a (B, 128k, W) tensor)."""
+    CHUNK = 512
+    if M > CHUNK:
+        parts = [
+            _repack_chunk(
+                jax.lax.slice_in_dim(c0, m, m + CHUNK, axis=0),
+                jax.lax.slice_in_dim(c1, m, m + CHUNK, axis=0),
+                m, CHUNK, W, WWS,
+            )
+            for m in range(0, M, CHUNK)
+        ]
+        return jnp.concatenate(parts, axis=1)
+    return _repack_chunk(c0, c1, 0, M, W, WWS)
+
+
+def _repack_chunk(c0, c1, i0: int, Mc: int, W: int, WWS: int):
     WB = W // WBITS
-    i = jnp.arange(1, M + 1, dtype=jnp.int32)
+    i = i0 + jnp.arange(1, Mc + 1, dtype=jnp.int32)
     # window base word of row i in global words: max(i//32 - 1, 0)
     wbase = jnp.maximum(i // WBITS - 1, 0)
     # bit position of k=0 within the window: i - 32*wbase
@@ -282,10 +297,10 @@ def _repack_rowmajor(c0, c1, M: int, W: int, WWS: int):
     kbit = jnp.arange(WBITS, dtype=jnp.uint32)
     b0 = ((w0[:, :, :, None] >> kbit) & 1).astype(jnp.int32)
     b1 = ((w1[:, :, :, None] >> kbit) & 1).astype(jnp.int32)
-    code = (b1 << 1) | b0  # (B, M, WB, 32)
+    code = (b1 << 1) | b0  # (B, Mc, WB, 32)
     B = code.shape[0]
-    code = code.reshape(B, M, W)
-    M16 = M // ROWS_PER_WORD
+    code = code.reshape(B, Mc, W)
+    M16 = Mc // ROWS_PER_WORD
     code = code.reshape(B, M16, ROWS_PER_WORD, W)
     shifts = (2 * jnp.arange(ROWS_PER_WORD, dtype=jnp.int32))[None, None, :, None]
     return (code << shifts).sum(axis=2).astype(jnp.int32)

@@ -29,7 +29,9 @@ from genomeworks_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 
 def _pad_windows(windows, n_shards):
-    """Pad the window list so the batch splits evenly over the mesh."""
+    """Pad the window list so the batch splits evenly over the mesh.
+    Padding entries are masked out by zeroing nseqs after packing (the
+    kernel skips nseqs == 0 windows), so they cost no kernel slots."""
     pad = (-len(windows)) % n_shards
     return windows + [["A"]] * pad, len(windows)
 
@@ -58,6 +60,7 @@ def poa_batch_consensus_sharded(
     S = max(2, ((Smax + 1) // 2) * 2)
     N = 3 * L
     seqs, wts, lens, nseqs = _pack_windows(windows_p, None, S, L)
+    nseqs[n_real:] = 0  # mask padding windows (kernel skips nseqs == 0)
 
     interpret = jax.default_backend() == "cpu"
     run = functools.partial(

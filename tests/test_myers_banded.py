@@ -91,6 +91,28 @@ def test_kernel_matches_model():
 
 
 @pytest.mark.tpu
+def test_aligner_long_sequences_tpu():
+    """100 kb pairs align within memory via the myers engine's streamed
+    row blocks + chunked repack (reference analogue: the legacy
+    Hirschberg-Myers large-matrix path, hirschberg_myers_gpu.cu)."""
+    from genomeworks_tpu.aligner import create_aligner
+
+    rng = np.random.default_rng(5)
+    qs = generate_random_genome(100_000, rng)
+    ts = mutate_sequence(qs, rng, 0.05, 0.05)
+    aligner = create_aligner(max_bandwidth=2048, engine="myers",
+                             max_alignments_per_launch=1)
+    aligner.add_alignment(qs, ts)
+    aligner.align_all()
+    (aln,) = aligner.get_alignments()
+    assert aln.is_optimal
+    states = np.asarray(aln.states)
+    nq = int(np.sum(states != 2))
+    nt = int(np.sum(states != 3))
+    assert nq == len(qs) and nt == len(ts)
+
+
+@pytest.mark.tpu
 def test_aligner_myers_engine_matches_oracle_tpu():
     from genomeworks_tpu.aligner import create_aligner
 
