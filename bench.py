@@ -117,35 +117,64 @@ def bench_mapper(iters=2):
     return n_reads / float(np.median(times))
 
 
-def bench_aligner(B=1024, M=2048, N=2048, W=256, iters=5):
+def bench_aligner(B=1024, M=2048, N=2048, W=256, iters=5, engine="myers"):
     import jax.numpy as jnp
-    from genomeworks_tpu.ops.banded_nw_pallas import banded_nw_forward_pallas
+
+    if engine == "myers":
+        from genomeworks_tpu.ops.myers_banded_pallas import (
+            myers_banded_forward_pallas as fwd,
+        )
+    else:
+        from genomeworks_tpu.ops.banded_nw_pallas import (
+            banded_nw_forward_pallas as fwd,
+        )
 
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.integers(0, 4, size=(B, M)), dtype=jnp.uint8)
     t = jnp.asarray(rng.integers(0, 4, size=(B, N)), dtype=jnp.uint8)
     qlen = jnp.full((B,), M, dtype=jnp.int32)
     tlen = jnp.full((B,), N, dtype=jnp.int32)
-    c, f = banded_nw_forward_pallas(q, t, qlen, tlen, W)
+    c, f = fwd(q, t, qlen, tlen, W)
     _ = np.asarray(c[0, 0, :1])
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        c, f = banded_nw_forward_pallas(q, t, qlen, tlen, W)
+        c, f = fwd(q, t, qlen, tlen, W)
         _ = np.asarray(c[0, 0, :1])
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     return B * M * W / dt / 1e9
 
 
+def aligner_speed_of_light_pct(gcells_per_s, W=256):
+    """Fraction of the bit-parallel kernel's issue-bound ceiling.
+
+    Per DP row the myers kernel issues ~55 vector ops on (W/32+3, 128)
+    shapes (ceil(WWS/8) = 2 vregs at W=256) plus the repack's ~8 elemwise
+    passes; at the VPU's ~1 vreg-op/cycle @ 0.94 GHz the ceiling is
+    roughly 128 lanes x W cells per (55 * ceil(WWS/8) + 16) cycles."""
+    WWS = W // 32 + 3
+    vregs = (WWS + 7) // 8
+    cycles_per_row = 55 * vregs + 16
+    ceiling = 128 * W / cycles_per_row * 0.94e9 / 1e9  # Gcells/s
+    return 100.0 * gcells_per_s / ceiling, round(ceiling, 1)
+
+
 def main():
-    aligner_gcups = bench_aligner()
+    from genomeworks_tpu.core.profiling import phase_times, reset_phase_times
+
+    aligner_gcups = bench_aligner(engine="myers")
+    sol_pct, sol_ceiling = aligner_speed_of_light_pct(aligner_gcups)
     print(json.dumps({
         "metric": "banded_alignment_throughput",
         "value": round(aligner_gcups, 2),
         "unit": "Gcells/s",
         "vs_baseline": None,
+        "engine": "bit-parallel myers",
+        "speed_of_light_pct": round(sol_pct, 1),
+        "issue_bound_ceiling_gcells_s": sol_ceiling,
     }))
+    reset_phase_times()
 
     try:
         reads_per_s = bench_mapper()
@@ -163,6 +192,13 @@ def main():
             "vs_baseline": None,
             "error": str(e)[:120],
         }))
+
+    print(json.dumps({
+        "metric": "mapper_phase_times",
+        "value": phase_times(),
+        "unit": "s",
+        "vs_baseline": None,
+    }))
 
     tpu_wps = bench_poa_tpu()
     cpu_np_wps = bench_poa_cpu()

@@ -197,27 +197,32 @@ class Aligner:
                 rle_traceback_pallas,
             )
 
+            from genomeworks_tpu.core.profiling import annotate
+
             if self.engine == "myers":
                 from genomeworks_tpu.ops.myers_banded_pallas import (
                     myers_banded_forward_pallas,
                 )
 
-                codes, fits = myers_banded_forward_pallas(
-                    jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
-                    jnp.asarray(tlen), bw,
-                )
+                with annotate("aligner/myers_forward"):
+                    codes, fits = myers_banded_forward_pallas(
+                        jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
+                        jnp.asarray(tlen), bw,
+                    )
             else:
-                codes, fits = banded_nw_forward_pallas(
-                    jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
-                    jnp.asarray(tlen), bw,
-                )
+                with annotate("aligner/nw_forward"):
+                    codes, fits = banded_nw_forward_pallas(
+                        jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
+                        jnp.asarray(tlen), bw,
+                    )
             # traceback stays on device; D2H is the RLE runs (~CIGAR-sized),
             # not the M/16 x W code planes (reference: myers_gpu.cu:444-530
             # emits RLE CIGARs device-side too)
-            runs_d, nruns_d, _dist, edge_d, ovf_d = rle_traceback_pallas(
-                codes, jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(dlo),
-                bw,
-            )
+            with annotate("aligner/rle_traceback"):
+                runs_d, nruns_d, _dist, edge_d, ovf_d = rle_traceback_pallas(
+                    codes, jnp.asarray(qlen), jnp.asarray(tlen),
+                    jnp.asarray(dlo), bw,
+                )
             runs_h = np.asarray(runs_d)
             nruns = np.asarray(nruns_d)
             edge = np.asarray(edge_d)

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from genomeworks_tpu.core.profiling import annotate
 from genomeworks_tpu.core.sequence import pack_reads
 from genomeworks_tpu.io.fasta import FastaParser
 from genomeworks_tpu.mapper.device_overlapper import chain_and_filter
@@ -238,18 +239,22 @@ def build_index_device(
     dirs = jnp.concatenate(flat_dirs)
     valid = jnp.concatenate(flat_valid)
 
-    rep_s, rid_s, pos_s, dir_s, n_dev = _sort_sketch(reps, rids, poss, dirs, valid)
-    total = int(n_dev)
+    with annotate("mapper/index_sort"):
+        rep_s, rid_s, pos_s, dir_s, n_dev = _sort_sketch(
+            reps, rids, poss, dirs, valid
+        )
+        total = int(n_dev)
     # reference threshold formula, computed on host in float64 for exact
     # parity with the host index (index_gpu.cuh:468)
     apply_filter = filtering_parameter < 1.0 and total > 0
     threshold = (
         int(total * filtering_parameter + 0.001) if apply_filter else 0
     )
-    rep_s, rid_s, pos_s, dir_s, n_dev, uniq, first, u_dev = _filter_and_unique(
-        rep_s, rid_s, pos_s, dir_s, jnp.int32(total), jnp.int32(threshold),
-        apply_filter,
-    )
+    with annotate("mapper/index_filter_unique"):
+        rep_s, rid_s, pos_s, dir_s, n_dev, uniq, first, u_dev = _filter_and_unique(
+            rep_s, rid_s, pos_s, dir_s, jnp.int32(total), jnp.int32(threshold),
+            apply_filter,
+        )
     return DeviceIndex(
         representations=rep_s,
         read_ids=rid_s,
@@ -358,19 +363,21 @@ def get_overlaps_device_pipeline(
         return []
     uq_b = _pow2(max(q_index.u, 1))
     ut_b = _pow2(max(t_index.u, 1))
-    starts, t_first_m, t_counts, total = _match_counts(
-        q_index.unique_representations[:uq_b],
-        q_index.first_occurrence[: uq_b + 1],
-        t_index.unique_representations[:ut_b],
-        t_index.first_occurrence[: ut_b + 1],
-        jnp.int32(q_index.u),
-        jnp.int32(t_index.u),
-    )
-    total_i = int(total)
+    with annotate("mapper/match_counts"):
+        starts, t_first_m, t_counts, total = _match_counts(
+            q_index.unique_representations[:uq_b],
+            q_index.first_occurrence[: uq_b + 1],
+            t_index.unique_representations[:ut_b],
+            t_index.first_occurrence[: ut_b + 1],
+            jnp.int32(q_index.u),
+            jnp.int32(t_index.u),
+        )
+        total_i = int(total)
     if total_i == 0:
         return []
     cap = _pow2(total_i)
-    count, sorted_out = _expand_sort_chain(
+    with annotate("mapper/expand_sort_chain"):
+        count, sorted_out = _expand_sort_chain(
         q_index.read_ids, q_index.positions_in_reads,
         t_index.read_ids, t_index.positions_in_reads,
         q_index.first_occurrence[: uq_b + 1],
