@@ -99,6 +99,7 @@ def _poa_kernel(
     S: int, L: int, N: int, E: int, A: int, C: int, Lp: int,
     gap: int, mismatch: int, match: int, MSA: bool = False, G: int = 1,
     PH: int = 0b11111, INTERP: bool = False, BAND: int = 0,
+    BAND_CFG: int = 0, ADAPT: bool = False,
 ):
     # PH: static phase bitmask for perf attribution (experiments/
     # poa_phase_profile.py). 1=NW, 2=traceback(+start finder), 4=add,
@@ -267,19 +268,78 @@ def _poa_kernel(
                     / jnp.maximum(ncs[g] + 1, 1).astype(f32)
                     for g in rg
                 ]
-                BSH = BAND // 2  # band_shift (ad-hoc rule 4)
+                MAXW = 1536  # CUDAPOA_MAX_ADAPTIVE_BAND_WIDTH
+                SHIFT_L, SHIFT_R = -10, -11
 
-                def bs_of(row, g):
-                    """get_band_start_for_row (banded.py:43-49); f32
-                    row*gradient truncation as in the reference."""
-                    di = (row.astype(f32) * grads[g]).astype(jnp.int32)
-                    sp = jnp.maximum(0, di - BSH)
-                    sp = jnp.where(
-                        mcs[g] < sp + BAND,
-                        jnp.maximum(0, mcs[g] - BAND + 4),
-                        sp,
+                def make_bs_of(wds, bshs):
+                    def bs_of(row, g):
+                        """get_band_start_for_row (banded.py:43-49); f32
+                        row*gradient truncation as in the reference."""
+                        di = (row.astype(f32) * grads[g]).astype(jnp.int32)
+                        sp = jnp.maximum(0, di - bshs[g])
+                        sp = jnp.where(
+                            mcs[g] < sp + wds[g],
+                            jnp.maximum(0, mcs[g] - wds[g] + 4),
+                            sp,
+                        )
+                        return sp - sp % 4
+
+                    return bs_of
+
+                def band_rules(g, rerun):
+                    """Adaptive band sizing, ad-hoc rules 1-6
+                    (banded.py:76-97). Returns (band_width, band_shift,
+                    give_up)."""
+                    wd = jnp.int32(BAND_CFG)
+                    if ADAPT:
+                        mcf = mcs[g].astype(f32)
+
+                        def align128(x):
+                            return ((x + 127) // 128) * 128
+
+                        wd = jnp.where(
+                            grads[g] > 1.1,
+                            jnp.maximum(
+                                wd,
+                                align128(
+                                    (mcf * f32(0.08) * grads[g]).astype(
+                                        jnp.int32
+                                    )
+                                ),
+                            ),
+                            wd,
+                        )
+                        wd = jnp.where(
+                            grads[g] < 0.8,
+                            jnp.maximum(
+                                wd,
+                                align128(
+                                    (mcf * f32(0.1) / grads[g]).astype(
+                                        jnp.int32
+                                    )
+                                ),
+                            ),
+                            wd,
+                        )
+                        wd = jnp.minimum(wd, MAXW)
+                    give_up = (wd == MAXW) & (rerun != 0) if ADAPT else (
+                        jnp.bool_(False)
                     )
-                    return sp - sp % 4
+                    bsh = wd // 2
+                    if ADAPT:
+                        can2 = wd <= MAXW // 2
+                        dl = (rerun == SHIFT_L) & can2
+                        dr = (rerun == SHIFT_R) & can2
+                        bsh = jnp.where(
+                            dl, (bsh.astype(f32) * f32(2.5)).astype(jnp.int32),
+                            jnp.where(
+                                dr,
+                                (bsh.astype(f32) * f32(1.5)).astype(jnp.int32),
+                                bsh,
+                            ),
+                        )
+                        wd = jnp.where(dl | dr, wd * 2, wd)
+                    return wd, bsh, give_up
 
                 # 0-padded reads (banded.py read_pad semantics: chars past
                 # the read length compare as code 0)
@@ -292,7 +352,10 @@ def _poa_kernel(
                 ) if G > 1 else jnp.where(
                     iota_l < rls[0], seqs_ref[0, pl.ds(s, 1), :], 0
                 )  # (G, L)
-                reads_pad = jnp.pad(reads0, ((0, 0), (0, Lp - L)))  # (G, Lp)
+                # width >= allocated band lanes (the profile roll slices
+                # [:BAND]); in-guard lanes never index past rl + 8 < Lp
+                LpB = max(Lp, BAND)
+                reads_pad = jnp.pad(reads0, ((0, 0), (0, LpB - L)))  # (G, LpB)
 
                 if PH & 1:
                     for g in rg:
@@ -304,8 +367,14 @@ def _poa_kernel(
                         s_bnd[g * R1] = f32(0)
                         s_c0c[g * R1] = jnp.int32(HORIZ)
 
+                # per-pass parameters (set by banded_pass before tracing
+                # the loops below; the shift-rerun protocol traces the
+                # bodies once per attempt)
+                _pp = {}
+
                 def banded_row_body(gp, _):
-                    acts = [runs[g] & (gp < ncs[g]) for g in rg]
+                    bs_of = _pp["bs_of"]
+                    acts = [_pp["acts"][g] & (gp < ncs[g]) for g in rg]
                     row = gp + 1
                     nids = [
                         jnp.where(
@@ -388,7 +457,7 @@ def _poa_kernel(
                             )
                             # chunk-of-4 conservative guard (banded.py:165-170)
                             rp = bss[g] + (iota_b & ~3)
-                            pbe = jnp.minimum(pbs + BAND - 4, mcs[g])
+                            pbe = jnp.minimum(pbs + _pp["wds"][g] - 4, mcs[g])
                             ok = (rp >= pbs) & (rp <= pbe)
                             me = (e < pcs[g]) | ((e == 0) & (pcs[g] == 0))
                             ok = ok & me
@@ -441,6 +510,10 @@ def _poa_kernel(
                     horiz = rowv == prevv + f32(gap)
                     fin = jnp.where(rowv == val, code, BIGP)
                     fin = jnp.minimum(fin, jnp.where(horiz, HORIZ, BIGP))
+                    # lanes past the dynamic band width stay out of band
+                    oob_l = iota_b >= _pp["wd_vec"]
+                    rowv = jnp.where(oob_l, fNEG, rowv)
+                    fin = jnp.where(oob_l, BIGP, fin)
                     for g in rg:
                         dst = sel(acts[g], g * R1 + row, g * R1)
                         row_out = jnp.where(
@@ -455,8 +528,230 @@ def _poa_kernel(
                         codes[pl.ds(dst, 1), :] = fin_out
                     return 0
 
-                if PH & 1:
-                    jax.lax.fori_loop(0, max_nc, banded_row_body, 0)
+                TERM_B = BIGP     # walk ends with a final (nid/-1, j-1) entry
+                BCELL_B = BIGP + 1  # boundary-cell visit: host banded rerun
+
+                def banded_tb(pacts, wds, bshs, reruns):
+                    """Band-aware traceback start + walk; writes sm slots
+                    +1 (err), +2 (alignment length), +3 (shift code)."""
+                    bs_of = _pp["bs_of"]
+                    iota_r = jax.lax.broadcasted_iota(jnp.int32, (R1, 1), 0)
+                    for g in rg:
+                        blk = scores[g * R1 : (g + 1) * R1, :]
+                        di = (iota_r.astype(f32) * grads[g]).astype(jnp.int32)
+                        spv = jnp.maximum(0, di - bshs[g])
+                        spv = jnp.where(
+                            mcs[g] < spv + wds[g],
+                            jnp.maximum(0, mcs[g] - wds[g] + 4),
+                            spv,
+                        )
+                        bs_vec = spv - spv % 4  # (R1, 1)
+                        lane_t = rls[g] - bs_vec - 1
+                        mm = iota_b == lane_t  # (R1, BAND)
+                        oob = (lane_t < 0) | (lane_t >= wds[g])
+                        prod = jnp.where(mm, blk, 0.0) + jnp.where(
+                            (iota_b == 0) & oob, fNEG, 0.0
+                        )
+                        ones_b = jnp.ones((1, BAND), jnp.float32)
+                        cv = jax.lax.dot_general(
+                            ones_b, prod,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (1, R1)
+                        colv[pl.ds(g * R1, R1)] = cv[0, :]
+                    if not INTERP:
+                        cpy = pltpu.make_async_copy(colv, s_colv, dma_sem)
+                        cpy.start()
+                        cpy.wait()
+
+                    def col_at(g, r1):
+                        if INTERP:
+                            return colv[g * R1 + r1]
+                        return s_colv[g * R1 + r1]
+
+                    def best_body(r, carry):
+                        bis, bss_ = carry
+                        nbis, nbss = [], []
+                        for g in rg:
+                            sc = col_at(g, cn(r, N - 1) + 1)
+                            take = (
+                                pacts[g]
+                                & (r < ncs[g])
+                                & (s_ocs[nd(g, cn(r, N - 1))] == 0)
+                                & (bss_[g] < sc)
+                            )
+                            nbis.append(jnp.where(take, r + 1, bis[g]))
+                            nbss.append(jnp.where(take, sc, bss_[g]))
+                        return tuple(nbis), tuple(nbss)
+
+                    bests, _ = jax.lax.fori_loop(
+                        0, max_nc, best_body,
+                        (
+                            tuple(jnp.int32(0) for _ in rg),
+                            tuple(fNEG for _ in rg),
+                        ),
+                    )
+
+                    def tb_cond(c):
+                        iis, jjs = c[0], c[1]
+                        alive = _anys(
+                            [(iis[g] != 0) | (jjs[g] != 0) for g in rg]
+                        )
+                        return alive & (c[3] < K + 2)
+
+                    def tb_body(c):
+                        iis, jjs, kks, steps = c
+                        nis, njs, nks = [], [], []
+                        for g in rg:
+                            i, j, k = iis[g], jjs[g], kks[g]
+                            alive = (i != 0) | (j != 0)
+                            crow = codes[pl.ds(g * R1 + cn(i, N), 1), :]
+                            bs_i = bs_of(cn(i, N), g)
+                            lane = j - bs_i - 1
+                            cd_in = jnp.sum(
+                                jnp.where(iota_b == lane, crow, 0)
+                            )
+                            c0 = s_c0c[g * R1 + cn(i, N)]
+                            row0_in = j <= jnp.minimum(wds[g], mcs[g])
+                            cd = jnp.where(
+                                i == 0,
+                                jnp.where(row0_in, HORIZ, TERM_B),
+                                jnp.where(
+                                    j == 0, c0,
+                                    jnp.where(
+                                        (lane >= 0) & (lane < wds[g]), cd_in,
+                                        jnp.where(
+                                            lane == -1, BCELL_B, TERM_B
+                                        ),
+                                    ),
+                                ),
+                            )
+                            cd = jnp.where(alive, cd, HORIZ)
+                            bad = alive & (cd == BCELL_B) & pacts[g]
+                            sm[g * 8 + 1] = jnp.where(bad, 3, sm[g * 8 + 1])
+                            cd = jnp.where(cd == BCELL_B, TERM_B, cd)
+
+                            # ad-hoc rules 7-8 (banded.py:203-213): path too
+                            # close to a band limit -> shift sentinel
+                            shifted = jnp.bool_(False)
+                            if ADAPT:
+                                thr = jnp.maximum(1, mcs[g] // 1024)
+                                chk = (
+                                    alive & (i != 0) & (j != 0)
+                                    & (reruns[g] == 0) & (wds[g] < MAXW)
+                                    & (thr < j) & (j < mcs[g] - thr)
+                                )
+                                sl_ = chk & (j <= bs_i + thr)
+                                sr_ = chk & (j >= bs_i + wds[g] - thr)
+                                code_s = jnp.where(
+                                    sl_, SHIFT_L, jnp.where(sr_, SHIFT_R, 0)
+                                )
+                                shifted = code_s != 0
+                                sm[g * 8 + 3] = jnp.where(
+                                    shifted & pacts[g], code_s, sm[g * 8 + 3]
+                                )
+
+                            is_term = (cd == TERM_B) | shifted
+                            is_horiz = cd == HORIZ
+                            is_diag = cd < E
+                            e = jnp.where(is_horiz | is_term, 0, cd % E)
+                            nid = cn(s_sort[nd(g, cn(i - 1, N - 1))], N - 1)
+                            pc = s_inc[nd(g, nid)]
+                            pred = cn(
+                                s_in_e[ed(g, nid * E + cn(e, E - 1))], N - 1
+                            )
+                            pi = jnp.where(
+                                pc == 0, 0, cn(s_pos[nd(g, pred)] + 1, N)
+                            )
+                            prev_i = jnp.where(
+                                is_term, 0, jnp.where(is_horiz, i, pi)
+                            )
+                            prev_j = jnp.where(
+                                is_term, 0,
+                                jnp.where(is_horiz | is_diag, j - 1, j),
+                            )
+                            emit = alive & ~shifted
+                            dst = kd(g, sel(emit, cn(k, KP - 2), KP - 1))
+                            s_ag[dst] = jnp.where(prev_i == i, -1, nid)
+                            s_ar[dst] = jnp.where(prev_j == j, -1, j - 1)
+                            nis.append(jnp.where(alive, prev_i, i))
+                            njs.append(jnp.where(alive, prev_j, j))
+                            nks.append(k + emit.astype(jnp.int32))
+                        return tuple(nis), tuple(njs), tuple(nks), steps + 1
+
+                    ifs, jfs, kfs, steps = jax.lax.while_loop(
+                        tb_cond, tb_body,
+                        (
+                            tuple(
+                                jnp.where(pacts[g], bests[g], 0) for g in rg
+                            ),
+                            tuple(jnp.where(pacts[g], rls[g], 0) for g in rg),
+                            tuple(jnp.int32(0) for _ in rg),
+                            jnp.int32(0),
+                        ),
+                    )
+                    for g in rg:
+                        nonterm = (ifs[g] != 0) | (jfs[g] != 0)
+                        no_shift = sm[g * 8 + 3] == 0 if ADAPT else True
+                        sm[g * 8 + 1] = jnp.where(
+                            pacts[g] & nonterm & no_shift, 3, sm[g * 8 + 1]
+                        )
+                        sm[g * 8 + 2] = jnp.where(
+                            pacts[g], kfs[g], sm[g * 8 + 2]
+                        )
+
+                def banded_pass(pacts, wds, bshs, reruns):
+                    _pp["acts"] = pacts
+                    _pp["wds"] = wds
+                    _pp["wd_vec"] = vecg(wds, jnp.int32)
+                    _pp["bs_of"] = make_bs_of(wds, bshs)
+                    if PH & 1:
+                        # fresh lambda: lax caches traced bodies by function
+                        # identity + avals, and the pass parameters in _pp
+                        # are trace-time constants
+                        jax.lax.fori_loop(
+                            0, max_nc, lambda gp, c: banded_row_body(gp, c), 0
+                        )
+                    if PH & 2:
+                        banded_tb(pacts, wds, bshs, reruns)
+
+                # ---- banded orchestration: attempt 1 (+ shift rerun) -----
+                z32 = jnp.int32(0)
+                params1 = [band_rules(g, z32) for g in rg]
+                wd1 = [p[0] for p in params1]
+                bsh1 = [p[1] for p in params1]
+                fit1 = [wd1[g] <= BAND for g in rg]
+                for g in rg:
+                    sm[g * 8 + 1] = jnp.where(
+                        runs[g] & ~fit1[g], 6, sm[g * 8 + 1]
+                    )
+                    sm[g * 8 + 2] = jnp.where(runs[g], 0, sm[g * 8 + 2])
+                    sm[g * 8 + 3] = jnp.where(runs[g], 0, sm[g * 8 + 3])
+                acts1 = [runs[g] & fit1[g] for g in rg]
+                banded_pass(acts1, wd1, bsh1, [z32] * G)
+
+                if ADAPT:
+                    shifts = [sm[g * 8 + 3] for g in rg]
+                    params2 = [band_rules(g, shifts[g]) for g in rg]
+                    wd2 = [p[0] for p in params2]
+                    bsh2 = [p[1] for p in params2]
+                    give2 = [p[2] for p in params2]
+                    need2 = [(shifts[g] != 0) & acts1[g] for g in rg]
+                    fit2 = [wd2[g] <= BAND for g in rg]
+                    run2 = [need2[g] & ~give2[g] & fit2[g] for g in rg]
+                    for g in rg:
+                        # give-up (rule 3 + rerun) maps to the host chain's
+                        # loop_count error; band > allocated lanes -> host
+                        sm[g * 8 + 1] = jnp.where(
+                            need2[g] & (give2[g] | ~fit2[g]), 3,
+                            sm[g * 8 + 1],
+                        )
+
+                    @pl.when(_anys(run2))
+                    def _rerun():
+                        banded_pass(run2, wd2, bsh2, shifts)
+
+                aln_lens = tuple(sm[g * 8 + 2] for g in rg)
 
             if PH & 1 and not BAND:
                 for g in rg:
@@ -560,7 +855,7 @@ def _poa_kernel(
             if PH & 1 and not BAND:
                 jax.lax.fori_loop(0, max_nc, row_body, 0)
 
-            if PH & 2:
+            if PH & 2 and not BAND:
                 # traceback start: first max at column rl among sink rows.
                 # Column rl is extracted lane-major with one MXU dot per
                 # window (mask . scores^T — exact: small ints in f32), DMA'd
@@ -568,44 +863,12 @@ def _poa_kernel(
                 # 2-D (X, 1) SMEM scratch gets lane-padded to (X, 128).
                 for g in rg:
                     blk = scores[g * R1 : (g + 1) * R1, :]
-                    if BAND:
-                        # per-row band: column rl sits at lane rl-bs(r)-1;
-                        # out-of-band rows read MIN (banded get_score)
-                        iota_r = jax.lax.broadcasted_iota(
-                            jnp.int32, (R1, 1), 0
-                        )
-                        di = (iota_r.astype(jnp.float32) * grads[g]).astype(
-                            jnp.int32
-                        )
-                        spv = jnp.maximum(0, di - BSH)
-                        spv = jnp.where(
-                            mcs[g] < spv + BAND,
-                            jnp.maximum(0, mcs[g] - BAND + 4),
-                            spv,
-                        )
-                        bs_vec = spv - spv % 4  # (R1, 1)
-                        lane_t = rls[g] - bs_vec - 1
-                        iota_bl = jax.lax.broadcasted_iota(
-                            jnp.int32, (1, BAND), 1
-                        )
-                        mm = iota_bl == lane_t  # (R1, BAND)
-                        oob = (lane_t < 0) | (lane_t >= BAND)
-                        prod = jnp.where(mm, blk, 0.0) + jnp.where(
-                            (iota_bl == 0) & oob, fNEG, 0.0
-                        )
-                        ones_b = jnp.ones((1, BAND), jnp.float32)
-                        cv = jax.lax.dot_general(
-                            ones_b, prod,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # (1, R1)
-                    else:
-                        mask = (iota_lp == rls[g]).astype(jnp.float32)
-                        cv = jax.lax.dot_general(
-                            mask, blk,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # (1, R1) lane-major
+                    mask = (iota_lp == rls[g]).astype(jnp.float32)
+                    cv = jax.lax.dot_general(
+                        mask, blk,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, R1) lane-major
                     colv[pl.ds(g * R1, R1)] = cv[0, :]
                 if not INTERP:
                     cpy = pltpu.make_async_copy(colv, s_colv, dma_sem)
@@ -647,9 +910,6 @@ def _poa_kernel(
                     alive = _anys([(iis[g] != 0) | (jjs[g] != 0) for g in rg])
                     return alive & (steps < K + 2)
 
-                TERM = BIGP       # walk ends with a final (nid/-1, j-1) entry
-                BCELL = BIGP + 1  # boundary-cell visit: host banded fallback
-
                 def tb_body(c):
                     iis, jjs, kks, steps = c
                     nis, njs, nks = [], [], []
@@ -657,42 +917,17 @@ def _poa_kernel(
                         i, j, k = iis[g], jjs[g], kks[g]
                         alive = (i != 0) | (j != 0)
                         crow = codes[pl.ds(g * R1 + cn(i, N), 1), :]
-                        if BAND:
-                            bs_i = bs_of(cn(i, N), g)
-                            lane = j - bs_i - 1
-                            cd_in = jnp.sum(jnp.where(iota_b == lane, crow, 0))
-                            c0 = s_c0c[g * R1 + cn(i, N)]
-                            row0_in = j <= jnp.minimum(BAND, mcs[g])
-                            cd = jnp.where(
-                                i == 0,
-                                jnp.where(row0_in, HORIZ, TERM),
-                                jnp.where(
-                                    j == 0, c0,
-                                    jnp.where(
-                                        (lane >= 0) & (lane < BAND), cd_in,
-                                        jnp.where(lane == -1, BCELL, TERM),
-                                    ),
-                                ),
-                            )
-                            cd = jnp.where(alive, cd, HORIZ)
-                            bad = alive & (cd == BCELL)
-                            sm[g * 8 + 1] = jnp.where(bad, 3, sm[g * 8 + 1])
-                            cd = jnp.where(bad, TERM, cd)
-                        else:
-                            cd = jnp.sum(jnp.where(iota_lp == j, crow, 0))
-                            cd = jnp.where(alive & (i != 0), cd, HORIZ)
-                        is_term = cd == TERM if BAND else jnp.bool_(False)
+                        cd = jnp.sum(jnp.where(iota_lp == j, crow, 0))
+                        cd = jnp.where(alive & (i != 0), cd, HORIZ)
                         is_horiz = cd == HORIZ
                         is_diag = cd < E
-                        e = jnp.where(is_horiz | is_term, 0, cd % E)
+                        e = jnp.where(is_horiz, 0, cd % E)
                         nid = cn(s_sort[nd(g, cn(i - 1, N - 1))], N - 1)
                         pc = s_inc[nd(g, nid)]
                         pred = cn(s_in_e[ed(g, nid * E + cn(e, E - 1))], N - 1)
                         pi = jnp.where(pc == 0, 0, cn(s_pos[nd(g, pred)] + 1, N))
-                        prev_i = jnp.where(is_term, 0, jnp.where(is_horiz, i, pi))
-                        prev_j = jnp.where(
-                            is_term, 0, jnp.where(is_horiz | is_diag, j - 1, j)
-                        )
+                        prev_i = jnp.where(is_horiz, i, pi)
+                        prev_j = jnp.where(is_horiz | is_diag, j - 1, j)
                         dst = kd(g, sel(alive, cn(k, KP - 2), KP - 1))
                         s_ag[dst] = jnp.where(prev_i == i, -1, nid)
                         s_ar[dst] = jnp.where(prev_j == j, -1, j - 1)
@@ -714,7 +949,7 @@ def _poa_kernel(
                     sm[g * 8 + 1] = jnp.where(
                         runs[g] & ((ifs[g] != 0) | (jfs[g] != 0)), 3, errs[g]
                     )
-            else:
+            elif not BAND:
                 aln_lens = tuple(jnp.int32(0) for _ in rg)
 
             # ------------- add alignment (cudapoa_add_alignment.cuh) ------
@@ -1223,7 +1458,8 @@ def _poa_kernel(
     jax.jit,
     static_argnames=(
         "S", "L", "N", "E", "A", "gap", "mismatch", "match", "interpret",
-        "msa", "phases", "windows_per_step", "band_width",
+        "msa", "phases", "windows_per_step", "band_width", "band_alloc",
+        "adaptive",
     ),
 )
 def poa_consensus_pallas(seqs, wts, lens, nseqs,
@@ -1231,7 +1467,8 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
                          gap: int = -8, mismatch: int = -6, match: int = 8,
                          interpret: bool | None = None, msa: bool = False,
                          phases: int = 0b11111, windows_per_step: int = 1,
-                         band_width: int = 0):
+                         band_width: int = 0, band_alloc: int | None = None,
+                         adaptive: bool = False):
     """Run the full POA chain, ``windows_per_step`` (G) windows per grid
     step. seqs/wts (B, S, L) i32, lens (B, S) i32, nseqs (B,) i32; B must
     be a multiple of G (pad with nseqs == 0 windows, which report err=1
@@ -1252,6 +1489,12 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         raise ValueError("kernel requires max_alignments <= max_edges")
     if band_width and (band_width < 128 or band_width % 128):
         raise ValueError("band_width must be a positive multiple of 128")
+    if band_alloc is None:
+        band_alloc = band_width
+    if band_width and (band_alloc % 128 or band_alloc < band_width):
+        raise ValueError("band_alloc must be a multiple of 128 >= band_width")
+    if adaptive and not band_width:
+        raise ValueError("adaptive banding requires band_width > 0")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # transfers ride a ~50 MB/s tunnel: accept narrow dtypes + broadcastable
@@ -1276,9 +1519,10 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         _poa_kernel,
         S=S, L=L, N=N, E=E, A=A, C=C, Lp=Lp,
         gap=gap, mismatch=mismatch, match=match, MSA=msa, G=G, PH=phases,
-        INTERP=interpret, BAND=band_width,
+        INTERP=interpret, BAND=band_alloc if band_width else 0,
+        BAND_CFG=band_width, ADAPT=adaptive,
     )
-    Wv = band_width if band_width else Lp  # score/code row width
+    Wv = band_alloc if band_width else Lp  # score/code row width
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

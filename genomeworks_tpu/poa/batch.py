@@ -388,8 +388,7 @@ class PoaBatch:
         }[cfg.band_mode]
 
         if (
-            mode == "static_band"
-            and self.output_mask == OutputType.consensus
+            self.output_mask == OutputType.consensus
             and jax.default_backend() != "cpu"
         ):
             cons, cov, cst = jax_poa.poa_batch_consensus_banded(
@@ -400,6 +399,7 @@ class PoaBatch:
                 max_nodes=cfg.max_nodes_per_graph,
                 band_width=cfg.alignment_band_width,
                 weights=self._weights,
+                band_mode=mode,
             )
             self._consensus_cache = (
                 [c if s == 0 else "" for c, s in zip(cons, cst)],

@@ -1603,22 +1603,30 @@ def poa_batch_consensus_banded(
     band_width: int = 256,
     weights: list[list[np.ndarray]] | None = None,
     use_pallas: bool | None = None,
+    band_mode: str = "static_band",
 ) -> tuple[list[str], list[np.ndarray], list[int]]:
-    """Static-band POA consensus — the TPU kernel realization of
-    cudapoa_nw_banded.cuh (static mode), bit-exact to the host chain
-    cpu_reference.poa_consensus(band_mode="static_band"). Windows the
-    kernel flags (boundary-cell traceback, capacity overflow) are re-run
-    through the host banded chain. Returns (consensus, coverage, status)
-    with jax_poa's internal status codes (0 ok)."""
+    """Banded POA consensus — the TPU kernel realization of
+    cudapoa_nw_banded.cuh (static and adaptive modes incl. the in-kernel
+    shift-rerun protocol), bit-exact to the host chain
+    cpu_reference.poa_consensus(band_mode=...). Windows the kernel flags
+    (boundary-cell traceback, band exceeding the allocated lanes,
+    capacity overflow) are re-run through the host banded chain. Returns
+    (consensus, coverage, status) with jax_poa's internal codes (0 ok)."""
     from genomeworks_tpu.poa.cpu_reference import PoaError, poa_consensus
     from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
 
+    adaptive = band_mode.startswith("adaptive")
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
+    # adaptive rules can grow the band to 2x the rule-1/2 width on rerun;
+    # allocate lanes for the common growth, host-fallback beyond
+    band_alloc = band_width if not adaptive else min(
+        1536, max(2 * band_width, 512)
+    )
     plan = (
         _pallas_banded_plan(
             windows, max_nodes, MAX_NODE_EDGES, MAX_NODE_ALIGNMENTS,
-            band_width,
+            band_alloc,
         )
         if use_pallas
         else None
@@ -1628,7 +1636,7 @@ def poa_batch_consensus_banded(
         try:
             c, v = poa_consensus(
                 windows[b], weights[b] if weights else None, gap, mismatch,
-                match, max_nodes, band_mode="static_band",
+                match, max_nodes, band_mode=band_mode,
                 band_width=band_width,
             )
             return c, v, 0
@@ -1662,7 +1670,7 @@ def poa_batch_consensus_banded(
         jnp.asarray(nseqs),
         S=S, L=L, N=N, E=E_k, A=min(MAX_NODE_ALIGNMENTS, E_k),
         gap=gap, mismatch=mismatch, match=match, windows_per_step=G,
-        band_width=band_width,
+        band_width=band_width, band_alloc=band_alloc, adaptive=adaptive,
     )
     cons = np.asarray(cons)
     cov = np.asarray(cov)

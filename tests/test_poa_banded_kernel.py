@@ -108,6 +108,74 @@ def test_banded_kernel_parity_on_band_leaving_paths():
     assert checked > 0
 
 
+def _host_adaptive(w, band_width):
+    try:
+        c, v = poa_consensus(
+            w, None, -8, -6, 8, None, band_mode="adaptive_band",
+            band_width=band_width,
+        )
+        return c, v, 0
+    except Exception:
+        return None
+
+
+def test_adaptive_kernel_parity_small():
+    """Adaptive banding in-kernel (rules 1-8 + shift rerun) must match
+    the host adaptive chain exactly."""
+    windows = _windows(3, 60, 160, 4, seed=21) + _diverging_windows(
+        2, seed=13, L=300
+    )
+    cons, cov, st = poa_batch_consensus_banded(
+        windows, band_width=128, use_pallas=True, band_mode="adaptive_band"
+    )
+    checked = 0
+    for b, w in enumerate(windows):
+        ref = _host_adaptive(w, 128)
+        if ref is None:
+            continue
+        assert st[b] == ref[2], f"window {b}: {st[b]} vs {ref[2]}"
+        if st[b] == 0:
+            assert cons[b] == ref[0], f"window {b}"
+            np.testing.assert_array_equal(cov[b], ref[1])
+            checked += 1
+    assert checked >= 3
+
+
+def test_adaptive_kernel_gradient_rules():
+    """Windows with skewed read/graph length ratios exercise rules 1-2
+    (band auto-widening)."""
+    rng = np.random.default_rng(7)
+    t = generate_random_genome(400, rng)
+    # short second read (gradient < 0.8 once the graph holds the backbone)
+    windows = [[t, t[:90]], [t, t + t[:150]]]
+    cons, cov, st = poa_batch_consensus_banded(
+        windows, band_width=128, use_pallas=True, band_mode="adaptive_band"
+    )
+    for b, w in enumerate(windows):
+        ref = _host_adaptive(w, 128)
+        if ref is None:
+            continue
+        assert st[b] == ref[2]
+        if st[b] == 0:
+            assert cons[b] == ref[0], f"window {b}"
+
+
+@pytest.mark.tpu
+def test_adaptive_kernel_parity_tpu_scale():
+    windows = _windows(32, 100, 250, 8, seed=17)
+    cons, cov, st = poa_batch_consensus_banded(
+        windows, band_width=256, use_pallas=True, band_mode="adaptive_band"
+    )
+    for b, w in enumerate(windows):
+        ref = _host_adaptive(w, 256)
+        if ref is None:
+            continue
+        assert st[b] == ref[2]
+        if st[b] == 0:
+            assert cons[b] == ref[0], f"window {b}"
+            np.testing.assert_array_equal(cov[b], ref[1])
+
+
 @pytest.mark.tpu
 def test_banded_kernel_parity_tpu_scale():
     windows = _windows(48, 100, 250, 8, seed=5)
