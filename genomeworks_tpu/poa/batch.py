@@ -201,13 +201,14 @@ class PoaBatch:
         mismatch_score: int = -6,
         match_score: int = 8,
         max_poas: int | None = None,
-        strict_banded: bool = False,
+        strict_banded: bool = True,
     ) -> None:
-        """``strict_banded``: when the config selects a banded mode, run the
-        exact banded-NW chain (cudapoa_nw_banded.cuh semantics, host path).
-        By default banded modes are treated as a performance hint and run
-        through the full-band TPU kernel — banding exists to fit GPU
-        memory/occupancy, and full band is at least as accurate."""
+        """``strict_banded`` (default True): when the config selects a
+        banded mode, run the exact banded-NW chain (cudapoa_nw_banded.cuh
+        semantics — the in-kernel static/adaptive band with shift rerun on
+        TPU, the host chain elsewhere). Set False to treat banded modes as
+        a performance hint and run the full-band kernel instead (full band
+        is at least as accurate; banding exists for speed/fit)."""
         global _next_batch_id
         self.strict_banded = strict_banded
         self.batch_config = batch_config or BatchConfig()

@@ -52,7 +52,13 @@ def _load_workload(limit=None):
 
 
 def _run_batches(windows):
-    configs, groups_per_config = get_multi_batch_sizes(windows)
+    # the committed golden is the full-band CPU-reference chain; pin the
+    # mode (the reference golden test's MultiBatch likewise fixes its mode)
+    from genomeworks_tpu.poa.batch import BandMode as _BM
+
+    configs, groups_per_config = get_multi_batch_sizes(
+        windows, band_mode=_BM.full_band
+    )
     results = {}
     for cfg, wids in zip(configs, groups_per_config):
         batch = PoaBatch(cfg, OutputType.consensus)
