@@ -99,7 +99,7 @@ def _poa_kernel(
     S: int, L: int, N: int, E: int, A: int, C: int, Lp: int,
     gap: int, mismatch: int, match: int, MSA: bool = False, G: int = 1,
     PH: int = 0b11111, INTERP: bool = False, BAND: int = 0,
-    BAND_CFG: int = 0, ADAPT: bool = False,
+    BAND_CFG: int = 0, ADAPT: bool = False, UNIT_W: bool = False,
 ):
     # PH: static phase bitmask for perf attribution (experiments/
     # poa_phase_profile.py). 1=NW, 2=traceback(+start finder), 4=add,
@@ -204,8 +204,12 @@ def _poa_kernel(
             de = sel(ok, i * E, N * E)
             s_in_e[ed(g, de)] = i - 1
             s_out_e[ed(g, de)] = i + 1
-            w = wts_s_ref[g, 0, ic]
-            wp = wts_s_ref[g, 0, cn(i - 1, L - 1)]
+            if UNIT_W:
+                w = jnp.int32(1)
+                wp = jnp.int32(1)
+            else:
+                w = wts_s_ref[g, 0, ic]
+                wp = wts_s_ref[g, 0, cn(i - 1, L - 1)]
             s_in_w[ed(g, de)] = jnp.where(i > 0, wp + w, w)
         return 0
 
@@ -968,7 +972,7 @@ def _poa_kernel(
                         act2 = act & (read_pos != -1)
                         rp = cn(read_pos, L - 1)
                         base = seqs_s_ref[g, s, rp]
-                        w = wts_s_ref[g, s, rp]
+                        w = jnp.int32(1) if UNIT_W else wts_s_ref[g, s, rp]
                         gid = s_ag[p]
                         gid_c = cn(gid, N - 1)
                         gnode = s_node[nd(g, gid_c)]
@@ -1498,9 +1502,16 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # transfers ride a ~50 MB/s tunnel: accept narrow dtypes + broadcastable
-    # weights and widen on device (jit body = device-side ops)
+    # weights and widen on device (jit body = device-side ops). Unit
+    # weights (the common case) skip the per-base SMEM weight copy
+    # entirely — the kernel substitutes the constant, halving the
+    # per-window sequence SMEM and raising the windows-per-step budget.
     seqs = seqs.astype(jnp.int32)
-    wts = jnp.broadcast_to(wts.astype(jnp.int32), seqs.shape)
+    unit_w = wts.size == 1
+    if unit_w:
+        wts = jnp.zeros((seqs.shape[0], 1, 1), jnp.int32)
+    else:
+        wts = jnp.broadcast_to(wts.astype(jnp.int32), seqs.shape)
     G = windows_per_step
     if msa and G != 1:
         raise ValueError("MSA mode requires windows_per_step == 1")
@@ -1520,7 +1531,7 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         S=S, L=L, N=N, E=E, A=A, C=C, Lp=Lp,
         gap=gap, mismatch=mismatch, match=match, MSA=msa, G=G, PH=phases,
         INTERP=interpret, BAND=band_alloc if band_width else 0,
-        BAND_CFG=band_width, ADAPT=adaptive,
+        BAND_CFG=band_width, ADAPT=adaptive, UNIT_W=unit_w,
     )
     Wv = band_alloc if band_width else Lp  # score/code row width
 
@@ -1532,7 +1543,10 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
             pl.BlockSpec((G, 1, S), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((G, S, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, S, L), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, S, L), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (G, 1, 1) if unit_w else (G, S, L),
+                lambda b: (b, 0, 0), memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec((G, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),

@@ -1388,7 +1388,8 @@ def _pack_windows(windows, weights, S, L):
 
 
 
-def _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, msa):
+def _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, msa,
+                     unit_w=False):
     """Shape plan + feasibility for the per-window Pallas kernel. Returns
     (S, L, N, E_kernel, G) or None when the workload exceeds the kernel's
     SMEM/VMEM budget (graph state lives in SMEM, capped at 1 MB/core on
@@ -1412,15 +1413,17 @@ def _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, msa):
     )
     n_cands = [n for n in n_cands if n > Lmax]
     e_cands = [e for e in (max_edges, 24, 16) if e <= max_edges]
-    for G in ((1,) if msa else (4, 3, 2, 1)):
+    for G in ((1,) if msa else (8, 6, 5, 4, 3, 2, 1)):
         for E_k in e_cands:
             for N in n_cands:
                 K = N + L
                 # mirrors poa_consensus_pallas scratch_shapes (+2x pipeline
-                # buffering allowance on the SMEM input/output blocks)
+                # buffering allowance on the SMEM input/output blocks);
+                # unit weights drop the per-base weight copy
                 w = (
                     11 * (N + 8) + 4 * (N * E_k + 8) + 2 * (K + 8)
-                    + 4 * S * L + 2 * N + 8 + (N + 1) + 16
+                    + (2 if unit_w else 4) * S * L
+                    + 2 * N + 8 + (N + 1) + 16
                 )
                 if msa:
                     w += (N + 1) * S + 8 + S + 8 + 3 * (N + 8) + 2 * N + 8
@@ -1441,7 +1444,8 @@ def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
     from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
 
     S, L, N, E_k, G = _pallas_poa_plan(
-        windows, max_nodes, max_edges, max_alignments, False
+        windows, max_nodes, max_edges, max_alignments, False,
+        unit_w=weights is None,
     )
     N_full = 3 * L if max_nodes is None else min(max_nodes, 3 * L)
     seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
@@ -1516,7 +1520,8 @@ def poa_batch_consensus(
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     if use_pallas and _pallas_poa_plan(
-        windows, max_nodes, max_edges, max_alignments, False
+        windows, max_nodes, max_edges, max_alignments, False,
+        unit_w=weights is None,
     ) is not None:
         return _poa_batch_consensus_pallas(
             windows, gap, mismatch, match, max_nodes, max_edges,
@@ -1551,7 +1556,7 @@ def poa_batch_consensus(
 
 
 def _pallas_banded_plan(windows, max_nodes, max_edges, max_alignments,
-                        band_width):
+                        band_width, unit_w=False):
     """Shape plan for the static-band kernel: identical SMEM budget to
     _pallas_poa_plan but score/code rows are band_width wide (plus the
     SMEM boundary arrays), so much longer windows fit on-chip."""
@@ -1574,13 +1579,14 @@ def _pallas_banded_plan(windows, max_nodes, max_edges, max_alignments,
     )
     n_cands = [n for n in n_cands if n > Lmax]
     e_cands = [e for e in (max_edges, 24, 16) if e <= max_edges]
-    for G in (4, 3, 2, 1):
+    for G in (8, 6, 5, 4, 3, 2, 1):
         for E_k in e_cands:
             for N in n_cands:
                 K = N + L
                 w = (
                     11 * (N + 8) + 4 * (N * E_k + 8) + 2 * (K + 8)
-                    + 4 * S * L + 2 * N + 8 + (N + 1) + 16
+                    + (2 if unit_w else 4) * S * L
+                    + 2 * N + 8 + (N + 1) + 16
                     + 2 * (N + 1 + 8)  # s_bnd + s_c0c
                 )
                 if w * G * 4 > 900_000:
@@ -1626,7 +1632,7 @@ def poa_batch_consensus_banded(
     plan = (
         _pallas_banded_plan(
             windows, max_nodes, MAX_NODE_EDGES, MAX_NODE_ALIGNMENTS,
-            band_alloc,
+            band_alloc, unit_w=weights is None,
         )
         if use_pallas
         else None
