@@ -2,9 +2,11 @@
 
 Reference: cudamapper/src/utils.cpp:190-316 print_sam (htslib-backed,
 behind GW_BUILD_HTSLIB). This build writes spec-conformant plain-text SAM
-directly — no htslib dependency — and fixes two reference quirks: FLAG
-reflects the overlap strand (0/16 instead of always 0) and POS is the
-1-based target start (the reference stores the query start).
+directly — no htslib dependency — and by default fixes two reference
+quirks: FLAG reflects the overlap strand (0/16 instead of always 0) and
+POS is the 1-based target start (the reference stores the query start).
+``reference_quirks=True`` reproduces the reference's exact FLAG/POS
+behavior for byte-compatibility with cudamapper's SAM output.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ def write_sam(
     out: IO[str],
     command_line: str | None = None,
     version: str = "0.1.0",
+    reference_quirks: bool = False,
 ) -> None:
     """Write overlaps as SAM records (header: @HD, @SQ per referenced
     target, @PG; record: QNAME FLAG RNAME POS MAPQ CIGAR RNEXT PNEXT TLEN
@@ -41,7 +44,13 @@ def write_sam(
     for i, o in enumerate(overlaps):
         q = query_parser.get_sequence_by_id(o.query_read_id)
         t = target_parser.get_sequence_by_id(o.target_read_id)
-        flag = 0 if o.relative_strand == "+" else 16
+        if reference_quirks:
+            # cudamapper utils.cpp: FLAG always 0, POS = query start
+            flag = 0
+            pos = o.query_start_position_in_read + 1
+        else:
+            flag = 0 if o.relative_strand == "+" else 16
+            pos = o.target_start_position_in_read + 1
         cigar = cigars[i] if cigars and i < len(cigars) and cigars[i] else "*"
         out.write(
             "\t".join(
@@ -49,7 +58,7 @@ def write_sam(
                     q.name,
                     str(flag),
                     t.name,
-                    str(o.target_start_position_in_read + 1),
+                    str(pos),
                     "255",
                     cigar,
                     "*",

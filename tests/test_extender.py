@@ -63,3 +63,19 @@ def test_golden_end2end_parity():
     assert len(got) == len(golden)
     for a, b in zip(got, golden):
         assert a.astuple() == b.astuple()
+
+
+def test_device_array_inputs():
+    """Reference parity: the device-pointer extend_async overload
+    (extender.hpp:120) — device-resident jnp sequences are accepted
+    without a host round-trip and give identical SSPs."""
+    import jax.numpy as jnp
+
+    q = encode_sequence("TTTT" + "ACGTACGTACGTACGTACGTACGTACGTACGT" + "TTTT")
+    t = encode_sequence("GGGG" + "ACGTACGTACGTACGTACGTACGTACGTACGT" + "GGGG")
+    ex = create_extender(xdrop_threshold=200, no_entropy=True)
+    ex.extend_async(q, t, 500, [(16, 16)])
+    host_ssps = ex.get_scored_segment_pairs()
+    ex.reset()
+    ex.extend_async(jnp.asarray(q), jnp.asarray(t), 500, [(16, 16)])
+    assert ex.get_scored_segment_pairs() == host_ssps
