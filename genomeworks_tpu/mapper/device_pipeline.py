@@ -209,9 +209,12 @@ def build_index_device(
         max_len = max(max((len(s) for s in chunk), default=1), min_len)
         bucket = _pow2(max_len)
         mat, lens = pack_reads(chunk, max_len=bucket)
+        # 2-bit packed upload: 4x fewer H2D bytes (tunnel-bound platform)
+        from genomeworks_tpu.mapper.minimizers import pack_2bit
+
         reps, poss, dirs, emit = compute_sketch(
-            jnp.asarray(mat), jnp.asarray(lens), kmer_size, window_size,
-            hash_representations,
+            jnp.asarray(pack_2bit(mat)), jnp.asarray(lens), kmer_size,
+            window_size, hash_representations, packed=True,
         )
         B, Pw = reps.shape
         rid0 = first_read_id + start

@@ -57,13 +57,29 @@ def _u32_to_ordered_i32(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(x ^ jnp.uint32(0x80000000), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "hash_representations"))
+def pack_2bit(reads: np.ndarray) -> np.ndarray:
+    """(B, L) uint8 base codes -> (B, L/4) packed bytes (base i at bits
+    2*(i%4)). Uploading packed reads quarters H2D traffic; the sketch
+    unpacks on device."""
+    B, L = reads.shape
+    if L % 4:
+        reads = np.pad(reads, ((0, 0), (0, 4 - L % 4)))
+    r = reads.reshape(B, -1, 4).astype(np.uint16)
+    return (
+        r[:, :, 0] | (r[:, :, 1] << 2) | (r[:, :, 2] << 4) | (r[:, :, 3] << 6)
+    ).astype(np.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "w", "hash_representations", "packed")
+)
 def compute_sketch(
-    reads: jnp.ndarray,  # (B, L) uint8 base codes
+    reads: jnp.ndarray,  # (B, L) uint8 base codes, or (B, L/4) packed 2-bit
     lengths: jnp.ndarray,  # (B,) int32
     k: int,
     w: int,
     hash_representations: bool = True,
+    packed: bool = False,
 ):
     """Compute minimizer sketch elements for a batch of reads.
 
@@ -75,6 +91,12 @@ def compute_sketch(
     Reads shorter than w+k-1 emit nothing (reference skips them,
     index_gpu.cuh:835).
     """
+    if packed:
+        # unpack 2-bit bytes to base codes on device (VPU shifts)
+        B, L4 = reads.shape
+        r16 = reads.astype(jnp.uint8)
+        parts = [((r16 >> (2 * i)) & 3) for i in range(4)]
+        reads = jnp.stack(parts, axis=2).reshape(B, 4 * L4)
     B, L = reads.shape
     P = L - k + 1  # number of k-mer start positions (padded)
     if P <= 0:

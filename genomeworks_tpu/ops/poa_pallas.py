@@ -1463,7 +1463,7 @@ def _poa_kernel(
     static_argnames=(
         "S", "L", "N", "E", "A", "gap", "mismatch", "match", "interpret",
         "msa", "phases", "windows_per_step", "band_width", "band_alloc",
-        "adaptive",
+        "adaptive", "packed_seqs",
     ),
 )
 def poa_consensus_pallas(seqs, wts, lens, nseqs,
@@ -1472,7 +1472,7 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
                          interpret: bool | None = None, msa: bool = False,
                          phases: int = 0b11111, windows_per_step: int = 1,
                          band_width: int = 0, band_alloc: int | None = None,
-                         adaptive: bool = False):
+                         adaptive: bool = False, packed_seqs: bool = False):
     """Run the full POA chain, ``windows_per_step`` (G) windows per grid
     step. seqs/wts (B, S, L) i32, lens (B, S) i32, nseqs (B,) i32; B must
     be a multiple of G (pad with nseqs == 0 windows, which report err=1
@@ -1506,6 +1506,12 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
     # weights (the common case) skip the per-base SMEM weight copy
     # entirely — the kernel substitutes the constant, halving the
     # per-window sequence SMEM and raising the windows-per-step budget.
+    if packed_seqs:
+        # (B, S, L/4) 2-bit packed upload -> unpack on device (4x fewer
+        # H2D bytes through the tunnel)
+        Bp, Sp, L4 = seqs.shape
+        parts = [((seqs >> (2 * i)) & 3) for i in range(4)]
+        seqs = jnp.stack(parts, axis=3).reshape(Bp, Sp, 4 * L4)
     seqs = seqs.astype(jnp.int32)
     unit_w = wts.size == 1
     if unit_w:
