@@ -60,8 +60,8 @@ def _kernel(
     qlen_ref,  # (1, 128)
     tb0_ref, tb1_ref, val_ref, pv0_ref,  # (NW, 128) word tables
     c0_ref, c1_ref,  # out (R_BLOCK, WWS, 128) column-major code bit planes
-    pv_s, mv_s,      # scratch (NW, 128)
-    *, WWS: int, NW: int,
+    pv_s, mv_s,      # scratch (NW, B_BLK)
+    *, WWS: int, NW: int, B_BLK: int,
 ):
     mi = pl.program_id(1)
     mone = jnp.int32(-1)
@@ -69,7 +69,7 @@ def _kernel(
     @pl.when(mi == 0)
     def _init():
         pv_s[:, :] = pv0_ref[:, :] | (jnp.int32(_SRC_TAG) & jnp.int32(0))
-        mv_s[:, :] = jnp.zeros((NW, 128), jnp.int32)
+        mv_s[:, :] = jnp.zeros((NW, B_BLK), jnp.int32)
 
     i0 = mi * R_BLOCK
     qlen = qlen_ref[:, :]  # (1, 128)
@@ -160,7 +160,7 @@ def myers_banded_forward_pallas(
     B, M = q.shape
     N = t.shape[1]
     W = band_width
-    if W % 128 or M % R_BLOCK or B % B_BLOCK:
+    if W % 128 or M % R_BLOCK or B % 128:
         raise ValueError("B % 128, W % 128 and M % 128 must all be 0")
 
     qlen = qlen.astype(jnp.int32)
@@ -188,29 +188,30 @@ def myers_banded_forward_pallas(
     TB0t, TB1t, VALt, PV0t = (x.T for x in (TB0, TB1, VAL, PV0))
     qT = q.astype(jnp.int32).T  # (M, B)
 
-    grid = (B // B_BLOCK, M // R_BLOCK)
-    kernel = functools.partial(_kernel, WWS=WWS, NW=NW)
+    B_blk = B_BLOCK if B % B_BLOCK == 0 else 128
+    grid = (B // B_blk, M // R_BLOCK)
+    kernel = functools.partial(_kernel, WWS=WWS, NW=NW, B_BLK=B_blk)
     c0, c1 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((R_BLOCK, B_BLOCK), lambda bi, mi: (mi, bi),
+            pl.BlockSpec((R_BLOCK, B_blk), lambda bi, mi: (mi, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B_BLOCK), lambda bi, mi: (0, bi),
+            pl.BlockSpec((1, B_blk), lambda bi, mi: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW, B_BLOCK), lambda bi, mi: (0, bi),
+            pl.BlockSpec((NW, B_blk), lambda bi, mi: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW, B_BLOCK), lambda bi, mi: (0, bi),
+            pl.BlockSpec((NW, B_blk), lambda bi, mi: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW, B_BLOCK), lambda bi, mi: (0, bi),
+            pl.BlockSpec((NW, B_blk), lambda bi, mi: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW, B_BLOCK), lambda bi, mi: (0, bi),
+            pl.BlockSpec((NW, B_blk), lambda bi, mi: (0, bi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R_BLOCK, WWS, B_BLOCK),
+            pl.BlockSpec((R_BLOCK, WWS, B_blk),
                          lambda bi, mi: (mi, 0, bi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_BLOCK, WWS, B_BLOCK),
+            pl.BlockSpec((R_BLOCK, WWS, B_blk),
                          lambda bi, mi: (mi, 0, bi), memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -218,8 +219,8 @@ def myers_banded_forward_pallas(
             jax.ShapeDtypeStruct((M, WWS, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NW, B_BLOCK), jnp.int32),
-            pltpu.VMEM((NW, B_BLOCK), jnp.int32),
+            pltpu.VMEM((NW, B_blk), jnp.int32),
+            pltpu.VMEM((NW, B_blk), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
