@@ -35,28 +35,29 @@ from genomeworks_tpu.mapper.overlapper import TAIL_LENGTH_FOR_CHAIN, Overlap
 
 
 def _carry(flag, vals, reverse=False, exclusive=False):
-    """Associative last-valid carry: for each i, the values at the most
-    recent flagged position <= i (or >= i when reverse). Returns
-    (found, carried_vals). ``exclusive`` shifts by one (strictly </>)."""
-    if exclusive:
-        if reverse:
-            flag = jnp.concatenate([flag[1:], jnp.zeros(1, flag.dtype)])
-            vals = [jnp.concatenate([v[1:], jnp.zeros(1, v.dtype)]) for v in vals]
-        else:
-            flag = jnp.concatenate([jnp.zeros(1, flag.dtype), flag[:-1]])
-            vals = [jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]]) for v in vals]
+    """Last-valid carry: for each i, the values at the most recent flagged
+    position <= i (or >= i when reverse). Returns (found, carried_vals).
+    ``exclusive`` shifts by one (strictly </>).
 
-    def comb(a, b):
-        av, *avs = a
-        bv, *bvs = b
-        return (av | bv,) + tuple(
-            jnp.where(bv, bvec, avec) for avec, bvec in zip(avs, bvs)
-        )
-
-    out = jax.lax.associative_scan(
-        comb, (flag,) + tuple(vals), reverse=reverse
-    )
-    return out[0], list(out[1:])
+    Implemented as a cummax/cummin of flagged indices + one gather per
+    carried array (a generic multi-array associative_scan unrolls ~23
+    stages per array at anchor scale — enormous HLO and slow compiles;
+    single-array cumulative extrema + 125 Melem/s gathers are both
+    smaller and faster on this platform)."""
+    n = flag.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if not reverse:
+        last = jax.lax.cummax(jnp.where(flag, iota, -1))
+        if exclusive:
+            last = jnp.concatenate([jnp.full(1, -1, jnp.int32), last[:-1]])
+        found = last >= 0
+    else:
+        last = jax.lax.cummin(jnp.where(flag, iota, n), reverse=True)
+        if exclusive:
+            last = jnp.concatenate([last[1:], jnp.full(1, n, jnp.int32)])
+        found = last < n
+    idx = jnp.clip(last, 0, n - 1)
+    return found, [v[idx] for v in vals]
 
 
 def chain_and_filter(

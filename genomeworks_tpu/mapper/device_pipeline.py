@@ -51,29 +51,18 @@ def _pow2(n: int) -> int:
 
 
 def _carry_fwd(flag, vals):
-    """Associative last-flagged carry (forward, inclusive)."""
+    """Last-flagged carry (forward, inclusive) — cummax of flagged indices
+    + gathers (see device_overlapper._carry for the rationale)."""
+    from genomeworks_tpu.mapper.device_overlapper import _carry
 
-    def comb(a, b):
-        return (a[0] | b[0],) + tuple(
-            jnp.where(b[0], bv, av) for av, bv in zip(a[1:], b[1:])
-        )
-
-    out = jax.lax.associative_scan(comb, (flag,) + tuple(vals))
-    return out[0], list(out[1:])
+    return _carry(flag, vals)
 
 
 def _carry_bwd_excl(flag, vals):
     """First-flagged carry strictly after each position."""
-    flag = jnp.concatenate([flag[1:], jnp.zeros(1, flag.dtype)])
-    vals = [jnp.concatenate([v[1:], jnp.zeros(1, v.dtype)]) for v in vals]
+    from genomeworks_tpu.mapper.device_overlapper import _carry
 
-    def comb(a, b):
-        return (a[0] | b[0],) + tuple(
-            jnp.where(b[0], bv, av) for av, bv in zip(a[1:], b[1:])
-        )
-
-    out = jax.lax.associative_scan(comb, (flag,) + tuple(vals), reverse=True)
-    return out[0], list(out[1:])
+    return _carry(flag, vals, reverse=True, exclusive=True)
 
 
 @dataclasses.dataclass
