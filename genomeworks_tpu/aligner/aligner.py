@@ -163,8 +163,15 @@ class Aligner:
     def _run_bucket(self, idxs: list[int], mq: int, mt: int, bw: int) -> list[Alignment]:
         B = len(idxs)
         # the Pallas NW path wants the batch padded to a multiple of 8;
-        # the bit-parallel Myers engine batches 128 alignments per vreg lane
-        if self.use_pallas and self.engine == "myers":
+        # the bit-parallel Myers engine batches 128 alignments per vreg
+        # lane. Long-sequence buckets always use the NW engine: its code
+        # planes scale with the real batch (B x M/16 x W), while the myers
+        # engine's column-major planes scale with the 128-padded batch
+        # (M x W/32+3 x 128) — multi-GB at 100 kb lengths.
+        engine = self.engine
+        if engine == "myers" and mq > 8192:
+            engine = "nw"
+        if self.use_pallas and engine == "myers":
             B_pad = ((B + 127) // 128) * 128
         elif self.use_pallas:
             B_pad = ((B + 7) // 8) * 8
@@ -199,7 +206,7 @@ class Aligner:
 
             from genomeworks_tpu.core.profiling import annotate
 
-            if self.engine == "myers":
+            if engine == "myers":
                 from genomeworks_tpu.ops.myers_banded_pallas import (
                     myers_banded_forward_pallas,
                 )
