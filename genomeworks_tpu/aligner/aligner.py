@@ -195,7 +195,28 @@ class Aligner:
             tlen[r] = len(tc)
 
         dlo = np.asarray(band_offset(jnp.asarray(qlen), jnp.asarray(tlen), bw))
-        if self.use_pallas:
+        use_pallas = self.use_pallas
+        if use_pallas:
+            try:
+                return self._run_bucket_pallas(
+                    idxs, engine, q, t, qlen, tlen, dlo, bw, B_pad
+                )
+            except Exception as exc:  # graceful degradation: the reference
+                # skips OOM'd batches (main.cu:270-274); here a failed
+                # kernel compile/launch (platform compile-helper crashes,
+                # HBM exhaustion) re-runs the bucket through the XLA path
+                import logging
+
+                logging.getLogger("genomeworks_tpu").warning(
+                    "pallas aligner bucket failed (%s); XLA fallback",
+                    str(exc)[:120],
+                )
+        return self._run_bucket_xla(idxs, q, t, qlen, tlen, dlo, bw)
+
+    def _run_bucket_pallas(
+        self, idxs, engine, q, t, qlen, tlen, dlo, bw, B_pad
+    ) -> list[Alignment]:
+        if True:
             from genomeworks_tpu.ops.banded_nw_pallas import (
                 banded_nw_forward_pallas,
                 traceback_host_packed,
@@ -252,13 +273,17 @@ class Aligner:
                 paths.append(
                     np.repeat((rr >> 28).astype(np.int8), rr & ((1 << 28) - 1))
                 )
-        else:
-            dist, codes, fits = banded_nw_forward(
-                jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), bw
-            )
-            paths, edge = traceback_host(np.asarray(codes), qlen, tlen, dlo, bw)
-        fits = np.asarray(fits)
+        return self._bucket_results(idxs, paths, edge, np.asarray(fits))
 
+    def _run_bucket_xla(self, idxs, q, t, qlen, tlen, dlo, bw) -> list[Alignment]:
+        dist, codes, fits = banded_nw_forward(
+            jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
+            jnp.asarray(tlen), bw,
+        )
+        paths, edge = traceback_host(np.asarray(codes), qlen, tlen, dlo, bw)
+        return self._bucket_results(idxs, paths, edge, np.asarray(fits))
+
+    def _bucket_results(self, idxs, paths, edge, fits) -> list[Alignment]:
         out = []
         for r, idx in enumerate(idxs):
             e = self._entries[idx]
