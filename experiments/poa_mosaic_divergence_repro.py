@@ -1,0 +1,49 @@
+import gzip
+windows = []
+with gzip.open("/root/repo/tests/data/poa_windows_covid.txt.gz", "rt") as f:
+    rem = 0
+    for line in f:
+        line = line.rstrip("\n")
+        if rem == 0:
+            rem = int(line); windows.append([])
+        else:
+            windows[-1].append(line); rem -= 1
+        if len(windows) > 140 and rem == 0: break
+golden = [l.rstrip("\n") for l in open("/root/repo/tests/data/poa_golden_covid.txt")]
+
+import genomeworks_tpu.poa.jax_poa as jp
+
+def run(ids, force_g=None, label=""):
+    sub = [windows[i] for i in ids]
+    if force_g:
+        orig = jp._pallas_poa_plan
+        def patched(*a, **k):
+            r = orig(*a, **k)
+            return (r[0], r[1], r[2], r[3], force_g) if r else r
+        jp._pallas_poa_plan = patched
+    try:
+        cons, cov, st = jp.poa_batch_consensus(sub, use_pallas=True)
+    finally:
+        if force_g:
+            jp._pallas_poa_plan = orig
+    bad = [i for k, i in enumerate(ids) if cons[k] != golden[i]]
+    print(label, "ids", ids, "G", force_g or "auto", "bad:", bad, flush=True)
+
+run([106], label="alone")
+run([106], force_g=1, label="alone-G1")
+run([105, 106], label="pair")
+run([106, 107], label="pair2")
+run([105, 106, 107, 108, 109], force_g=1, label="group-G1")
+
+# Findings (2026-08-17, v5e via axon tunnel):
+# - covid golden window 106 (and ~199 of 5776) produce a slightly different
+#   consensus from the COMPILED per-window Pallas kernel than from the CPU
+#   reference, the XLA lockstep path, AND the same kernel in interpret mode
+#   (all three agree with the committed golden).
+# - reproduces with the window alone, at G=1, and with only the first 4
+#   sequences (lens 219/199/194/188) — not a fusion/interference issue;
+#   a data-dependent Mosaic compilation divergence in the full-band NW
+#   phase or its traceback.
+# - tests/test_poa_golden_e2e.py::test_poa_golden_full_scale is xfail'd on
+#   this; fixing it means bisecting kernel phases on-chip (PH bitmask) on
+#   this repro.
