@@ -48,8 +48,8 @@ def main(argv=None):
         help="extend overlap ends by flanking-sequence similarity",
     )
     p.add_argument(
-        "--format", choices=("paf", "sam"), default="paf",
-        help="output format (reference: cudamapper --format)",
+        "--format", choices=("paf", "sam", "bam"), default="paf",
+        help="output format (reference: cudamapper -S/-B flags)",
     )
     p.add_argument(
         "--host-pipeline", action="store_true",
@@ -94,6 +94,12 @@ def main(argv=None):
     cigars = align_overlaps(overlaps, query_parser, target_parser) if args.align else None
     if args.format == "sam":
         write_sam(overlaps, cigars, query_parser, target_parser, sys.stdout,
+                  command_line=" ".join(argv) if argv else None)
+    elif args.format == "bam":
+        from genomeworks_tpu.io.bam import write_bam
+
+        write_bam(overlaps, cigars, query_parser, target_parser,
+                  sys.stdout.buffer,
                   command_line=" ".join(argv) if argv else None)
     else:
         for line in overlaps_to_paf(overlaps, query_parser, target_parser, args.kmer_size, cigars):

@@ -193,3 +193,105 @@ def test_write_sam():
     assert f[9] == "ACGTACGT"
     r = lines[4].split("\t")
     assert r[1] == "16" and r[5] == "*"
+
+
+# --- BAM --------------------------------------------------------------------
+
+
+def test_write_bam_roundtrip():
+    """BGZF/BAM writer (io/bam.py, reference utils.cpp:190-316 BAM mode):
+    decompress with plain gzip and re-parse every record."""
+    import gzip
+    import struct
+
+    from genomeworks_tpu.io.bam import write_bam
+
+    parser_q = _FakeParser(["ACGTACGT"])
+    parser_t = _FakeParser(["TTTTACGTACGTTTTT"])
+    o = _ov(
+        query_start_position_in_read=0,
+        query_end_position_in_read=8,
+        target_start_position_in_read=4,
+        target_end_position_in_read=12,
+    )
+    o_rev = _ov(
+        relative_strand="-",
+        query_start_position_in_read=0,
+        query_end_position_in_read=8,
+        target_start_position_in_read=4,
+        target_end_position_in_read=12,
+    )
+    buf = io.BytesIO()
+    write_bam([o, o_rev], ["8M", None], parser_q, parser_t, buf,
+              command_line="gw-mapper x y")
+    raw = buf.getvalue()
+    # BGZF: gzip magic + FEXTRA, BC subfield, fixed EOF block
+    assert raw[:4] == b"\x1f\x8b\x08\x04"
+    assert raw.endswith(bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000"))
+    data = gzip.decompress(raw)
+
+    assert data[:4] == b"BAM\x01"
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    text = data[8 : 8 + l_text].decode()
+    assert "@SQ\tSN:read_0\tLN:16" in text and "CL:gw-mapper x y" in text
+    off = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    assert n_ref == 1
+    (l_name,) = struct.unpack_from("<i", data, off)
+    off += 4
+    assert data[off : off + l_name] == b"read_0\x00"
+    off += l_name
+    (l_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    assert l_ref == 16
+
+    recs = []
+    while off < len(data):
+        (block_size,) = struct.unpack_from("<i", data, off)
+        off += 4
+        body = data[off : off + block_size]
+        off += block_size
+        (ref_id, pos, l_rn, mapq, _bin, n_cig, flag, l_seq,
+         nref, npos, tlen) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+        p = 32
+        name = body[p : p + l_rn - 1].decode()
+        p += l_rn
+        cig = [struct.unpack_from("<I", body, p + 4 * i)[0]
+               for i in range(n_cig)]
+        p += 4 * n_cig
+        seq_nib = body[p : p + (l_seq + 1) // 2]
+        p += (l_seq + 1) // 2
+        qual = body[p : p + l_seq]
+        recs.append((ref_id, pos, mapq, cig, flag, l_seq, name, seq_nib,
+                     qual, nref, npos, tlen))
+    assert len(recs) == 2
+
+    r0 = recs[0]
+    assert r0[:3] == (0, 4, 255)  # refID, POS (0-based target start), MAPQ
+    assert r0[3] == [(8 << 4) | 0]  # 8M
+    assert r0[4] == 0 and r0[5] == 8 and r0[6] == "read_0"
+    # ACGTACGT -> nibbles 1,2,4,8 repeated
+    assert r0[7] == bytes([0x12, 0x48, 0x12, 0x48])
+    assert r0[8] == b"\xff" * 8
+    assert r0[9:] == (-1, -1, 0)
+
+    r1 = recs[1]
+    assert r1[4] == 16 and r1[3] == []  # '-' strand flag, no CIGAR
+
+    # reference_quirks: FLAG always 0, POS = query start (utils.cpp:283-288)
+    buf2 = io.BytesIO()
+    write_bam([o_rev], None, parser_q, parser_t, buf2, reference_quirks=True)
+    d2 = gzip.decompress(buf2.getvalue())
+    (lt2,) = struct.unpack_from("<i", d2, 4)
+    off2 = 8 + lt2
+    (nr2,) = struct.unpack_from("<i", d2, off2)
+    off2 += 4
+    for _ in range(nr2):
+        (ln2,) = struct.unpack_from("<i", d2, off2)
+        off2 += 4 + ln2 + 4
+    off2 += 4  # block_size
+    ref_id2, pos2, _, _, _, _, flag2 = struct.unpack_from(
+        "<iiBBHHH", d2, off2)
+    assert (pos2, flag2) == (0, 0)
