@@ -41,9 +41,28 @@ run([105, 106, 107, 108, 109], force_g=1, label="group-G1")
 #   reference, the XLA lockstep path, AND the same kernel in interpret mode
 #   (all three agree with the committed golden).
 # - reproduces with the window alone, at G=1, and with only the first 4
-#   sequences (lens 219/199/194/188) — not a fusion/interference issue;
-#   a data-dependent Mosaic compilation divergence in the full-band NW
-#   phase or its traceback.
-# - tests/test_poa_golden_e2e.py::test_poa_golden_full_scale is xfail'd on
-#   this; fixing it means bisecting kernel phases on-chip (PH bitmask) on
-#   this repro.
+#   sequences (lens 219/199/194/188) — not a fusion/interference issue.
+#
+# ROOT CAUSE (found + fixed in round 3): not a Mosaic miscompile at all.
+# The traceback-start column extraction uses an MXU dot_general on the f32
+# score block; the MXU's DEFAULT f32 precision rounds operands through
+# bf16 passes, so any score with more than ~8 significant mantissa bits
+# comes back perturbed, flipping the argmax over sink rows for windows
+# whose column maxima are close. Interpret mode (and the CPU/XLA paths)
+# compute the dot exactly — hence compiled-only, data-dependent.
+# Fix: precision=jax.lax.Precision.HIGHEST on both column-extraction dots
+# (ops/poa_pallas.py, full-band + banded). This script now prints
+# "bad: []" on every line; the full 5776-window golden passes on-chip.
+#
+# The BANDED kernel had two further compiled-only divergence sources,
+# found by dumping per-sequence DP state (experiments/banded_dbg_bisect.py)
+# and probing ops in isolation:
+# - VPU f32 division is ~1 ulp off IEEE for 34% of small-int rationals;
+#   the band gradient (rl+1)/(nc+1) feeds int(row*gradient) truncations.
+#   Fixed with an exact integer restoring divider (_ieee_div_ints).
+# - dynamic-shift pltpu.roll is miscompiled for vector widths with a
+#   non-pow2 vreg count (384/640/768/1536 lanes: result off by one vreg
+#   for every nonzero shift; 128/256/512/1024 correct). The banded NW
+#   rolls the read row (width max(Lp, BAND), 384 at the bench shape) and
+#   score rows by dynamic band-start deltas. Fixed by padding every
+#   dynamically-rolled buffer to a pow2 lane count (_pow2_lanes).

@@ -74,6 +74,101 @@ def _roundup(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _pow2_lanes(w):
+    """Next 128*2^k >= w.
+
+    Dynamic-shift ``pltpu.roll`` is MISCOMPILED on v5e for vector widths
+    whose vreg count is not a power of two (measured: widths 384/640/768/
+    1536 lanes return the rotation off by one vreg for every nonzero
+    shift; 128/256/512/1024 are correct). Every buffer the banded NW
+    realigns with a dynamic roll is therefore padded to a power-of-two
+    lane count; wrapped-in pad lanes are always masked by the band
+    validity guards."""
+    p = 128
+    while p < w:
+        p *= 2
+    return p
+
+
+# -- exact IEEE f32 division (scalar, in-kernel) --------------------------
+#
+# The TPU VPU lowers f32 division to a reciprocal approximation that is
+# 1 ulp off the IEEE result for ~34% of small-integer rationals (measured
+# on v5e); the banded POA band gradient ``(read_len+1)/(node_count+1)``
+# feeds an int truncation (``int(row * gradient)``,
+# cudapoa_nw_banded.cuh:69), so a 1-ulp-high quotient shifts band starts
+# and flips consensus on ~4% of windows (the r2 compiled-only banded
+# divergence). Multiplies and f32->int casts are exact on the VPU
+# (probed); only division needs the emulation below. Mosaic has no scalar
+# bitcast, so the divider works on (mantissa, exponent) integer pairs and
+# rebuilds the float through a power-of-two SMEM table (s_pow2[i] =
+# 2^(i-48), filled by _fill_pow2 with exact *2.0/*0.5 chains).
+
+
+def _fill_pow2(s_pow2):
+    s_pow2[48] = jnp.float32(1.0)
+
+    def down(i, p):
+        p = p * jnp.float32(0.5)
+        s_pow2[47 - i] = p
+        return p
+
+    jax.lax.fori_loop(0, 48, down, jnp.float32(1.0))
+
+    def up(i, p):
+        p = p * jnp.float32(2.0)
+        s_pow2[49 + i] = p
+        return p
+
+    jax.lax.fori_loop(0, 15, up, jnp.float32(1.0))
+
+
+def _norm24(v):
+    """(mantissa in [2^23, 2^24), exponent e) with v == mantissa * 2^(e-23),
+    for int32 v in [1, 2^24)."""
+
+    def body(_, c):
+        m, e = c
+        lt = m < (1 << 23)
+        return jnp.where(lt, m * 2, m), jnp.where(lt, e - 1, e)
+
+    return jax.lax.fori_loop(0, 24, body, (v, jnp.int32(23)))
+
+
+def _ieee_div_mants(ma, ea, mb, eb, s_pow2):
+    """RN(a/b) for a = ma*2^(ea-23), b = mb*2^(eb-23), mantissas in
+    [2^23, 2^24). Restoring long division, round-to-nearest-even via
+    guard/sticky. Returns (f32 value, mantissa, exponent)."""
+    ex = ea - eb
+    small = ma < mb
+    ma = jnp.where(small, ma * 2, ma)
+    ex = jnp.where(small, ex - 1, ex)
+
+    def step(_, c):
+        q, r = c
+        ge = r >= mb
+        return q * 2 + ge.astype(jnp.int32), jnp.where(ge, r - mb, r) * 2
+
+    # 25 quotient bits (1 implicit + 23 + guard); r < 2*mb <= 2^25 safe
+    q, r = jax.lax.fori_loop(0, 25, step, (jnp.int32(0), ma))
+    guard = q & 1
+    sticky = (r != 0).astype(jnp.int32)
+    m = (q >> 1) + (guard & (sticky | ((q >> 1) & 1)))
+    # mantissa overflow on round-up: 2^24 -> 2^23, exponent += 1
+    ovf = m == (1 << 24)
+    m = jnp.where(ovf, jnp.int32(1 << 23), m)
+    ex = jnp.where(ovf, ex + 1, ex)
+    return m.astype(jnp.float32) * s_pow2[ex - 23 + 48], m, ex
+
+
+def _ieee_div_ints(n, d, s_pow2):
+    """RN(n/d) as f32 for int32 n, d in [1, 2^24). Returns
+    (f32 value, mantissa, exponent)."""
+    ma, ea = _norm24(n)
+    mb, eb = _norm24(d)
+    return _ieee_div_mants(ma, ea, mb, eb, s_pow2)
+
+
 def _maxs(xs):
     return functools.reduce(jnp.maximum, xs)
 
@@ -100,6 +195,7 @@ def _poa_kernel(
     gap: int, mismatch: int, match: int, MSA: bool = False, G: int = 1,
     PH: int = 0b11111, INTERP: bool = False, BAND: int = 0,
     BAND_CFG: int = 0, ADAPT: bool = False, UNIT_W: bool = False,
+    DBG: int = -1,
 ):
     # PH: static phase bitmask for perf attribution (experiments/
     # poa_phase_profile.py). 1=NW, 2=traceback(+start finder), 4=add,
@@ -112,29 +208,30 @@ def _poa_kernel(
     # traceback code in s_c0c. Predecessor rows are realigned with a
     # dynamic pltpu.roll by the band-start delta; the reference's
     # chunk-of-4 conservative edge guard is reproduced per lane.
+    rest = list(rest)
     if MSA:
-        (msa_ref, mlen_ref,
-         scores, codes, colv,
-         s_node, s_inc, s_outc, s_alc, s_cov,
-         s_sort, s_pos, s_ocs, s_loc,
-         s_csc, s_cpr,
-         s_in_e, s_in_w, s_out_e, s_al,
-         s_ag, s_ar, sm, s_colv, dma_sem,
-         *tail) = rest
+        msa_ref, mlen_ref = rest[:2]
+        rest = rest[2:]
+    if DBG >= 0:
+        # debug build: dump scores/codes + the SMEM boundary column after
+        # aligning sequence index DBG (compiled-vs-interpret bisection)
+        dbg_sc, dbg_cd, dbg_bnd, dbg_c0 = rest[:4]
+        rest = rest[4:]
+    (scores, codes, colv,
+     s_node, s_inc, s_outc, s_alc, s_cov,
+     s_sort, s_pos, s_ocs, s_loc,
+     s_csc, s_cpr,
+     s_in_e, s_in_w, s_out_e, s_al,
+     s_ag, s_ar, sm, s_colv, dma_sem, *tail) = rest
+    if MSA:
         if BAND:
             (s_next, s_begin, s_mark, s_chk, s_stack, s_col,
-             s_bnd, s_c0c) = tail
+             s_bnd, s_c0c, s_pow2) = tail
         else:
             (s_next, s_begin, s_mark, s_chk, s_stack, s_col) = tail
     else:
-        (scores, codes, colv,
-         s_node, s_inc, s_outc, s_alc, s_cov,
-         s_sort, s_pos, s_ocs, s_loc,
-         s_csc, s_cpr,
-         s_in_e, s_in_w, s_out_e, s_al,
-         s_ag, s_ar, sm, s_colv, dma_sem, *tail) = rest
         if BAND:
-            s_bnd, s_c0c = tail
+            s_bnd, s_c0c, s_pow2 = tail
     K = N + L
     KP = K + 8
     MN = N + 8
@@ -185,6 +282,8 @@ def _poa_kernel(
         err_ref[g, 0, 0] = jnp.where(live, 0, 1)
         clen_ref[g, 0, 0] = 0
     sm[8 * G] = jnp.int32(_SRC_TAG)  # cache-key versioning (see _SRC_TAG)
+    if BAND:
+        _fill_pow2(s_pow2)  # power-of-two table for the exact divider
 
     max_len0 = _maxs([jnp.where(nss[g] > 0, len0s[g], 0) for g in rg])
 
@@ -267,11 +366,19 @@ def _poa_kernel(
                 iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, BAND), 1)
                 slope_b = f32(gap) * iota_b.astype(f32)
                 mcs = [rls[g] + 1 for g in rg]
-                grads = [
-                    (rls[g] + 1).astype(f32)
-                    / jnp.maximum(ncs[g] + 1, 1).astype(f32)
+                # gradient = (rl+1)/(nc+1) with CORRECTLY-ROUNDED f32
+                # division (the reference's CUDA f32 div is IEEE; the VPU's
+                # is not — see _ieee_div_mants). Mantissa/exponent kept for
+                # the exact reciprocal in adaptive rule 2.
+                _gdiv = [
+                    _ieee_div_ints(
+                        rls[g] + 1, jnp.maximum(ncs[g] + 1, 1), s_pow2
+                    )
                     for g in rg
                 ]
+                grads = [t[0] for t in _gdiv]
+                grad_ms = [t[1] for t in _gdiv]
+                grad_es = [t[2] for t in _gdiv]
                 MAXW = 1536  # CUDAPOA_MAX_ADAPTIVE_BAND_WIDTH
                 SHIFT_L, SHIFT_R = -10, -11
 
@@ -301,8 +408,12 @@ def _poa_kernel(
                         def align128(x):
                             return ((x + 127) // 128) * 128
 
+                        # f64-literal comparisons in the reference
+                        # (gradient > 1.1 promotes to double): g32 > 1.1
+                        # iff g32 >= f32(1.1) (f32(1.1) rounds up);
+                        # g32 < 0.8 iff g32 < f32(0.8) (f32(0.8) rounds up)
                         wd = jnp.where(
-                            grads[g] > 1.1,
+                            grads[g] >= f32(1.1),
                             jnp.maximum(
                                 wd,
                                 align128(
@@ -313,12 +424,19 @@ def _poa_kernel(
                             ),
                             wd,
                         )
+                        # rule 2's division: exact reciprocal of the f32
+                        # gradient (deterministic across compiled/interp),
+                        # then f32 multiplies
+                        recip_g, _, _ = _ieee_div_mants(
+                            jnp.int32(1 << 23), jnp.int32(0),
+                            grad_ms[g], grad_es[g], s_pow2,
+                        )
                         wd = jnp.where(
-                            grads[g] < 0.8,
+                            grads[g] < f32(0.8),
                             jnp.maximum(
                                 wd,
                                 align128(
-                                    (mcf * f32(0.1) / grads[g]).astype(
+                                    (mcf * f32(0.1) * recip_g).astype(
                                         jnp.int32
                                     )
                                 ),
@@ -357,8 +475,12 @@ def _poa_kernel(
                     iota_l < rls[0], seqs_ref[0, pl.ds(s, 1), :], 0
                 )  # (G, L)
                 # width >= allocated band lanes (the profile roll slices
-                # [:BAND]); in-guard lanes never index past rl + 8 < Lp
-                LpB = max(Lp, BAND)
+                # [:BAND]); in-guard lanes never index past rl + 4, and
+                # the pow2 rounding (see _pow2_lanes: non-pow2-vreg
+                # dynamic rolls are miscompiled) also zero-covers the
+                # guard-clipped chunk past the read end with banded.py's
+                # read_pad semantics
+                LpB = _pow2_lanes(max(Lp + 8, BAND))
                 reads_pad = jnp.pad(reads0, ((0, 0), (0, LpB - L)))  # (G, LpB)
 
                 if PH & 1:
@@ -561,6 +683,12 @@ def _poa_kernel(
                             ones_b, prod,
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
+                            # HIGHEST: the MXU's default f32 path rounds
+                            # through bf16 passes; scores with >8 mantissa
+                            # bits came back off-by-one and flipped the
+                            # traceback-start argmax (the r2 "Mosaic
+                            # divergence" — ~3% of covid golden windows)
+                            precision=jax.lax.Precision.HIGHEST,
                         )  # (1, R1)
                         colv[pl.ds(g * R1, R1)] = cv[0, :]
                     if not INTERP:
@@ -757,6 +885,20 @@ def _poa_kernel(
 
                 aln_lens = tuple(sm[g * 8 + 2] for g in rg)
 
+                if DBG >= 0:
+                    @pl.when(s == DBG)
+                    def _dump():
+                        for g in rg:
+                            dbg_sc[g] = scores[pl.ds(g * R1, R1), :]
+                            dbg_cd[g] = codes[pl.ds(g * R1, R1), :]
+
+                            def _cpy(r, _):
+                                dbg_bnd[g, 0, r] = s_bnd[g * R1 + r]
+                                dbg_c0[g, 0, r] = s_c0c[g * R1 + r]
+                                return 0
+
+                            jax.lax.fori_loop(0, R1, _cpy, 0)
+
             if PH & 1 and not BAND:
                 for g in rg:
                     scores[g * R1 : g * R1 + 1, :] = slope_f
@@ -872,6 +1014,10 @@ def _poa_kernel(
                         mask, blk,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        # HIGHEST — see the banded extractor above: default
+                        # MXU f32 precision rounds scores through bf16 and
+                        # corrupts the traceback-start column
+                        precision=jax.lax.Precision.HIGHEST,
                     )  # (1, R1) lane-major
                     colv[pl.ds(g * R1, R1)] = cv[0, :]
                 if not INTERP:
@@ -1463,7 +1609,7 @@ def _poa_kernel(
     static_argnames=(
         "S", "L", "N", "E", "A", "gap", "mismatch", "match", "interpret",
         "msa", "phases", "windows_per_step", "band_width", "band_alloc",
-        "adaptive", "packed_seqs",
+        "adaptive", "packed_seqs", "debug_scores_seq",
     ),
 )
 def poa_consensus_pallas(seqs, wts, lens, nseqs,
@@ -1472,7 +1618,8 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
                          interpret: bool | None = None, msa: bool = False,
                          phases: int = 0b11111, windows_per_step: int = 1,
                          band_width: int = 0, band_alloc: int | None = None,
-                         adaptive: bool = False, packed_seqs: bool = False):
+                         adaptive: bool = False, packed_seqs: bool = False,
+                         debug_scores_seq: int = -1):
     """Run the full POA chain, ``windows_per_step`` (G) windows per grid
     step. seqs/wts (B, S, L) i32, lens (B, S) i32, nseqs (B,) i32; B must
     be a multiple of G (pad with nseqs == 0 windows, which report err=1
@@ -1497,6 +1644,12 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         band_alloc = band_width
     if band_width and (band_alloc % 128 or band_alloc < band_width):
         raise ValueError("band_alloc must be a multiple of 128 >= band_width")
+    if band_width:
+        # score/code rows are realigned with dynamic pltpu.roll, which is
+        # miscompiled for non-pow2 vreg counts (see _pow2_lanes); lanes
+        # past the dynamic band width are masked, so over-allocating is
+        # semantics-free
+        band_alloc = _pow2_lanes(band_alloc)
     if adaptive and not band_width:
         raise ValueError("adaptive banding requires band_width > 0")
     if interpret is None:
@@ -1538,6 +1691,7 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         gap=gap, mismatch=mismatch, match=match, MSA=msa, G=G, PH=phases,
         INTERP=interpret, BAND=band_alloc if band_width else 0,
         BAND_CFG=band_width, ADAPT=adaptive, UNIT_W=unit_w,
+        DBG=debug_scores_seq,
     )
     Wv = band_alloc if band_width else Lp  # score/code row width
 
@@ -1562,7 +1716,12 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         ] + ([
             pl.BlockSpec((G, S, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((G, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-        ] if msa else []),
+        ] if msa else []) + ([
+            pl.BlockSpec((G, R1, Wv), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R1, Wv), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, R1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, 1, R1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ] if debug_scores_seq >= 0 else []),
         scratch_shapes=[
             pltpu.VMEM((G * R1, Wv), jnp.float32),  # scores
             pltpu.VMEM((G * R1, Wv), jnp.int32),    # codes
@@ -1597,6 +1756,7 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         ] if msa else []) + ([
             pltpu.SMEM((G * R1 + 8,), jnp.float32),  # s_bnd (slot-0 bound)
             pltpu.SMEM((G * R1 + 8,), jnp.int32),    # s_c0c (boundary code)
+            pltpu.SMEM((64,), jnp.float32),          # s_pow2 (exact divider)
         ] if band_width else []),
     )
 
@@ -1610,7 +1770,12 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         ] + ([
             jax.ShapeDtypeStruct((B, S, C), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-        ] if msa else []),
+        ] if msa else []) + ([
+            jax.ShapeDtypeStruct((B, R1, Wv), jnp.float32),
+            jax.ShapeDtypeStruct((B, R1, Wv), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, R1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, R1), jnp.int32),
+        ] if debug_scores_seq >= 0 else []),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
@@ -1625,5 +1790,7 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         clen[:, 0, 0], err[:, 0, 0],
     )
     if msa:
-        return base + (out[4].astype(jnp.uint8), out[5][:, 0, 0])
+        base = base + (out[4].astype(jnp.uint8), out[5][:, 0, 0])
+    if debug_scores_seq >= 0:
+        base = base + tuple(out[-4:])
     return base

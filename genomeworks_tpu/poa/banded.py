@@ -41,8 +41,12 @@ def _align_up(x, m):
 
 
 def _band_start_for_row(row, gradient, band_width, band_shift, max_column):
-    """get_band_start_for_row (cudapoa_nw_banded.cuh:66-77)."""
-    diagonal_index = int(row * gradient)
+    """get_band_start_for_row (cudapoa_nw_banded.cuh:66-77).
+
+    ``gradient`` is an np.float32 and the product is f32, matching the
+    reference's ``int32_t(row * gradient)`` with ``float gradient``
+    exactly (CUDA f32 multiply is IEEE; so is numpy's)."""
+    diagonal_index = int(np.float32(row) * gradient)
     start_pos = max(0, diagonal_index - band_shift)
     if max_column < start_pos + band_width:
         start_pos = max(0, max_column - band_width + CELLS_PER_THREAD)
@@ -70,17 +74,26 @@ def nw_align_banded(
     order = g.sorted_poa[:nc]
     pos_of = g.node_id_to_pos
 
-    gradient = float(rl + 1) / float(nc + 1)
+    # f32 division as in the reference (cudapoa_nw_banded.cuh:207 —
+    # ``float gradient = float(read_length+1)/float(graph_count+1)``;
+    # CUDA f32 division is IEEE, as is numpy's). The r2 version computed
+    # this in Python f64, which disagrees with the f32 value on trunc
+    # boundaries of int(row * gradient).
+    gradient = np.float32(rl + 1) / np.float32(nc + 1)
     max_column = rl + 1
 
     if adaptive:
-        if gradient > 1.1:  # ad-hoc rule 1
+        # the rules promote to double in the reference (0.08/0.1/1.1 are
+        # f64 literals); float(gradient) keeps that chain in f64 here
+        if float(gradient) > 1.1:  # ad-hoc rule 1
             band_width = max(
-                band_width, _align_up(int(max_column * 0.08 * gradient), MIN_BAND_WIDTH)
+                band_width,
+                _align_up(int(max_column * 0.08 * float(gradient)), MIN_BAND_WIDTH),
             )
-        if gradient < 0.8:  # ad-hoc rule 2
+        if float(gradient) < 0.8:  # ad-hoc rule 2
             band_width = max(
-                band_width, _align_up(int(max_column * 0.1 / gradient), MIN_BAND_WIDTH)
+                band_width,
+                _align_up(int(max_column * 0.1 / float(gradient)), MIN_BAND_WIDTH),
             )
         band_width = min(band_width, MAX_ADAPTIVE_BAND_WIDTH)  # rule 3
         if band_width == MAX_ADAPTIVE_BAND_WIDTH and rerun != 0:

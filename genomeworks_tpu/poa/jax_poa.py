@@ -1625,9 +1625,14 @@ def poa_batch_consensus_banded(
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     # adaptive rules can grow the band to 2x the rule-1/2 width on rerun;
-    # allocate lanes for the common growth, host-fallback beyond
-    band_alloc = band_width if not adaptive else min(
-        1536, max(2 * band_width, 512)
+    # allocate lanes for the common growth, host-fallback beyond. Rounded
+    # to a pow2 lane count (dynamic rolls are miscompiled on non-pow2
+    # vreg widths — ops/poa_pallas._pow2_lanes); the kernel applies the
+    # same rounding, so plan and kernel budgets agree.
+    from genomeworks_tpu.ops.poa_pallas import _pow2_lanes
+
+    band_alloc = _pow2_lanes(
+        band_width if not adaptive else min(1536, max(2 * band_width, 512))
     )
     plan = (
         _pallas_banded_plan(

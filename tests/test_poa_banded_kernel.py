@@ -177,12 +177,6 @@ def test_adaptive_kernel_parity_tpu_scale():
 
 
 @pytest.mark.tpu
-@pytest.mark.xfail(
-    strict=False,
-    reason="occasional compiled-only consensus divergence at scale (same "
-    "Mosaic compilation issue as the POA golden full-scale test; "
-    "experiments/poa_mosaic_divergence_repro.py)",
-)
 def test_banded_kernel_parity_tpu_scale():
     windows = _windows(48, 100, 250, 8, seed=5)
     cons, cov, st = poa_batch_consensus_banded(

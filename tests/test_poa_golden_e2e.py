@@ -82,13 +82,6 @@ def test_poa_golden_prefix():
 
 
 @pytest.mark.tpu
-@pytest.mark.xfail(
-    strict=False,
-    reason="~3% of windows diverge from the golden on the COMPILED kernel "
-    "only (interpret mode, the XLA path and the CPU reference all agree "
-    "with the golden) — a data-dependent Mosaic compilation divergence; "
-    "minimal repro: experiments/poa_mosaic_divergence_repro.py",
-)
 def test_poa_golden_full_scale():
     """Real chip: the full committed workload (reference-test scale)
     through the PoaBatch kernel path; assembled consensus must equal the
