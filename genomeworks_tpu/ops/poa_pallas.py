@@ -182,8 +182,8 @@ def _poa_kernel(
     nseqs_ref,    # SMEM (G, 1, 1)
     lens_ref,     # SMEM (G, 1, S)
     seqs_ref,     # VMEM (G, S, L) i32 (vector rows for NW)
-    seqs_s_ref,   # SMEM (G, S, L) i32 (scalar per-base access)
-    wts_s_ref,    # SMEM (G, S, L) i32
+    seqs_s_ref,   # SMEM (G, S, L//4) i32 (scalar per-base, 4 bytes/word)
+    wts_s_ref,    # SMEM (G, S, L) i32 (or (G,1,1) when UNIT_W)
     # outputs
     cons_ref,     # SMEM (G, 1, C) i32 (BACKWARD order)
     cov_ref,      # SMEM (G, 1, C) i32
@@ -195,7 +195,7 @@ def _poa_kernel(
     gap: int, mismatch: int, match: int, MSA: bool = False, G: int = 1,
     PH: int = 0b11111, INTERP: bool = False, BAND: int = 0,
     BAND_CFG: int = 0, ADAPT: bool = False, UNIT_W: bool = False,
-    DBG: int = -1,
+    DBG: int = -1, PACK_EW: bool = False,
 ):
     # PH: static phase bitmask for perf attribution (experiments/
     # poa_phase_profile.py). 1=NW, 2=traceback(+start finder), 4=add,
@@ -221,8 +221,13 @@ def _poa_kernel(
      s_node, s_inc, s_outc, s_alc, s_cov,
      s_sort, s_pos, s_ocs, s_loc,
      s_csc, s_cpr,
-     s_in_e, s_in_w, s_out_e, s_al,
-     s_ag, s_ar, sm, s_colv, dma_sem, *tail) = rest
+     s_in_e, *rest2) = rest
+    if PACK_EW:
+        s_in_w = s_in_e  # packed into s_in_e; alias never indexed
+    else:
+        s_in_w, *rest2 = rest2
+    (s_out_e, s_al,
+     s_ag, s_ar, sm, s_colv, dma_sem, *tail) = rest2
     if MSA:
         if BAND:
             (s_next, s_begin, s_mark, s_chk, s_stack, s_col,
@@ -267,6 +272,74 @@ def _poa_kernel(
             [jnp.full((1, 1), v, dtype) for v in vals], axis=0
         )
 
+    # -- packed graph-array accessors -------------------------------------
+    # SMEM is the binding constraint on G (windows fused per grid step);
+    # edge lists are its dominant term. PACK_EW (unit-weight builds, where
+    # accumulated edge weights stay tiny) fuses in-edge id and weight into
+    # one word: (in_e + 1) | (in_w << 13). Out-edge and alignment lists
+    # hold bare node ids and always pack two 16-bit halfwords per word
+    # (word stride MEH, scrap word (N*E)//2 disjoint from real slots).
+    MEH = (N * E) // 2 + 8
+
+    if PACK_EW:
+        def ie_get(idx):
+            return (s_in_e[idx] & 0x1FFF) - 1
+
+        def iw_get(idx):
+            return s_in_e[idx] >> 13
+
+        def iew_get(idx):
+            w = s_in_e[idx]
+            return (w & 0x1FFF) - 1, w >> 13
+
+        def iew_set(idx, e, w):
+            s_in_e[idx] = (e + 1) | (w << 13)
+
+        def iw_add(idx, dw):
+            s_in_e[idx] = s_in_e[idx] + (dw << 13)
+    else:
+        def ie_get(idx):
+            return s_in_e[idx]
+
+        def iw_get(idx):
+            return s_in_w[idx]
+
+        def iew_get(idx):
+            return s_in_e[idx], s_in_w[idx]
+
+        def iew_set(idx, e, w):
+            s_in_e[idx] = e
+            s_in_w[idx] = w
+
+        def iw_add(idx, dw):
+            s_in_w[idx] = s_in_w[idx] + dw
+
+    def _h_get(ref, g, idx):
+        w = ref[g * MEH + (idx >> 1)]
+        return (w >> ((idx & 1) * 16)) & 0xFFFF
+
+    def _h_set(ref, g, idx, val):
+        sh = (idx & 1) * 16
+        wi = g * MEH + (idx >> 1)
+        ref[wi] = (ref[wi] & ~(0xFFFF << sh)) | (val << sh)
+
+    def oe_get(g, idx):
+        return _h_get(s_out_e, g, idx)
+
+    def oe_set(g, idx, val):
+        _h_set(s_out_e, g, idx, val)
+
+    def al_get(g, idx):
+        return _h_get(s_al, g, idx)
+
+    def al_set(g, idx, val):
+        _h_set(s_al, g, idx, val)
+
+    def seq_at(g, s_, i):
+        # seqs_s_ref packs four ASCII bytes per word
+        w = seqs_s_ref[g, s_, i >> 2]
+        return (w >> ((i & 3) * 8)) & 0xFF
+
     nss = [nseqs_ref[g, 0, 0] for g in rg]
     len0s = [lens_ref[g, 0, 0] for g in rg]
 
@@ -292,7 +365,7 @@ def _poa_kernel(
             ok = (i < len0s[g]) & (nss[g] > 0)
             d = sel(ok, i, N)
             ic = cn(i, L - 1)
-            s_node[nd(g, d)] = seqs_s_ref[g, 0, ic]
+            s_node[nd(g, d)] = seq_at(g, 0, ic)
             s_inc[nd(g, d)] = jnp.where(i > 0, 1, 0)
             s_outc[nd(g, d)] = jnp.where(i < len0s[g] - 1, 1, 0)
             s_alc[nd(g, d)] = 0
@@ -301,18 +374,22 @@ def _poa_kernel(
             s_pos[nd(g, d)] = i
             s_ocs[nd(g, d)] = jnp.where(i < len0s[g] - 1, 1, 0)
             de = sel(ok, i * E, N * E)
-            s_in_e[ed(g, de)] = i - 1
-            s_out_e[ed(g, de)] = i + 1
             if UNIT_W:
                 w = jnp.int32(1)
                 wp = jnp.int32(1)
             else:
                 w = wts_s_ref[g, 0, ic]
                 wp = wts_s_ref[g, 0, cn(i - 1, L - 1)]
-            s_in_w[ed(g, de)] = jnp.where(i > 0, wp + w, w)
+            iew_set(ed(g, de), i - 1, jnp.where(i > 0, wp + w, w))
+            oe_set(g, de, i + 1)
         return 0
 
-    jax.lax.fori_loop(0, max_len0, bb, 0)
+    def bb2(i2, _):
+        bb(2 * i2, None)
+        bb(2 * i2 + 1, None)
+        return 0
+
+    jax.lax.fori_loop(0, (max_len0 + 1) // 2, bb2, 0)
 
     if MSA:
         # successor map: a sequence covers each node at most once, so the
@@ -519,7 +596,7 @@ def _poa_kernel(
                     for g in rg:
                         def fe_body(e, carry):
                             best, beste = carry
-                            pe = cn(s_in_e[ed(g, nids[g] * E + cn(e, E - 1))], N)
+                            pe = cn(ie_get(ed(g, nids[g] * E + cn(e, E - 1))), N)
                             pi = cn(s_pos[nd(g, pe)] + 1, N)
                             v = s_bnd[g * R1 + jnp.where(pcs[g] > 0, pi, 0)]
                             take = (e < pcs[g]) & (v > best)
@@ -569,7 +646,7 @@ def _poa_kernel(
                         val, code = carry
                         cand_d, cand_v = [], []
                         for g in rg:
-                            pe = cn(s_in_e[ed(g, nids[g] * E + cn(e, E - 1))], N)
+                            pe = cn(ie_get(ed(g, nids[g] * E + cn(e, E - 1))), N)
                             pi = jnp.where(
                                 pcs[g] == 0, 0, cn(s_pos[nd(g, pe)] + 1, N)
                             )
@@ -790,7 +867,7 @@ def _poa_kernel(
                             nid = cn(s_sort[nd(g, cn(i - 1, N - 1))], N - 1)
                             pc = s_inc[nd(g, nid)]
                             pred = cn(
-                                s_in_e[ed(g, nid * E + cn(e, E - 1))], N - 1
+                                ie_get(ed(g, nid * E + cn(e, E - 1))), N - 1
                             )
                             pi = jnp.where(
                                 pc == 0, 0, cn(s_pos[nd(g, pred)] + 1, N)
@@ -811,8 +888,11 @@ def _poa_kernel(
                             nks.append(k + emit.astype(jnp.int32))
                         return tuple(nis), tuple(njs), tuple(nks), steps + 1
 
+                    def tb_body2(c):
+                        return tb_body(tb_body(c))
+
                     ifs, jfs, kfs, steps = jax.lax.while_loop(
-                        tb_cond, tb_body,
+                        tb_cond, tb_body2,
                         (
                             tuple(
                                 jnp.where(pacts[g], bests[g], 0) for g in rg
@@ -923,7 +1003,7 @@ def _poa_kernel(
                 def pred_rows(e):
                     rows = []
                     for g in rg:
-                        pe = cn(s_in_e[ed(g, nids[g] * E + cn(e, E - 1))], N)
+                        pe = cn(ie_get(ed(g, nids[g] * E + cn(e, E - 1))), N)
                         pp = jnp.where(
                             pcs[g] == 0, 0, cn(s_pos[nd(g, pe)] + 1, N)
                         )
@@ -999,7 +1079,14 @@ def _poa_kernel(
                 return 0
 
             if PH & 1 and not BAND:
-                jax.lax.fori_loop(0, max_nc, row_body, 0)
+                # manual 2x unroll (dynamic bounds forbid unroll=): halves
+                # loop-trip overhead; overshoot rows are masked by acts
+                def row_body2(i2, _):
+                    row_body(2 * i2, None)
+                    row_body(2 * i2 + 1, None)
+                    return 0
+
+                jax.lax.fori_loop(0, (max_nc + 1) // 2, row_body2, 0)
 
             if PH & 2 and not BAND:
                 # traceback start: first max at column rl among sink rows.
@@ -1074,7 +1161,7 @@ def _poa_kernel(
                         e = jnp.where(is_horiz, 0, cd % E)
                         nid = cn(s_sort[nd(g, cn(i - 1, N - 1))], N - 1)
                         pc = s_inc[nd(g, nid)]
-                        pred = cn(s_in_e[ed(g, nid * E + cn(e, E - 1))], N - 1)
+                        pred = cn(ie_get(ed(g, nid * E + cn(e, E - 1))), N - 1)
                         pi = jnp.where(pc == 0, 0, cn(s_pos[nd(g, pred)] + 1, N))
                         prev_i = jnp.where(is_horiz, i, pi)
                         prev_j = jnp.where(is_horiz | is_diag, j - 1, j)
@@ -1086,8 +1173,11 @@ def _poa_kernel(
                         nks.append(k + alive.astype(jnp.int32))
                     return tuple(nis), tuple(njs), tuple(nks), steps + 1
 
+                def tb_body2(c):
+                    return tb_body(tb_body(c))
+
                 ifs, jfs, aln_lens, steps = jax.lax.while_loop(
-                    tb_cond, tb_body,
+                    tb_cond, tb_body2,
                     (
                         tuple(jnp.where(runs[g], bests[g], 0) for g in rg),
                         tuple(jnp.where(runs[g], rls[g], 0) for g in rg),
@@ -1117,7 +1207,7 @@ def _poa_kernel(
                         read_pos = s_ar[p]
                         act2 = act & (read_pos != -1)
                         rp = cn(read_pos, L - 1)
-                        base = seqs_s_ref[g, s, rp]
+                        base = seq_at(g, s, rp)
                         w = jnp.int32(1) if UNIT_W else wts_s_ref[g, s, rp]
                         gid = s_ag[p]
                         gid_c = cn(gid, N - 1)
@@ -1126,7 +1216,7 @@ def _poa_kernel(
                         need_fa = act2 & (gid != -1) & (gnode != base)
 
                         def fa(a0, acc):
-                            aid = cn(s_al[ed(g, gid_c * E + a0)], N - 1)
+                            aid = cn(al_get(g, gid_c * E + a0), N - 1)
                             return jnp.where(
                                 (acc == -1) & (s_node[nd(g, aid)] == base),
                                 aid, acc,
@@ -1162,19 +1252,19 @@ def _poa_kernel(
                         na = cn(s_alc[nd(g, gid_c)], E)
 
                         def la(a0, _):
-                            aid = cn(s_al[ed(g, gid_c * E + a0)], N - 1)
+                            aid = cn(al_get(g, gid_c * E + a0), N - 1)
                             slot = cn(s_alc[nd(g, aid)], E - 1)
-                            s_al[ed(g, sel(link, aid * E + slot, N * E))] = cur
+                            al_set(g, sel(link, aid * E + slot, N * E), cur)
                             s_alc[nd(g, sel(link, aid, N))] = (
                                 s_alc[nd(g, aid)] + 1
                             )
-                            s_al[ed(g, sel(link, cur * E + a0, N * E))] = aid
+                            al_set(g, sel(link, cur * E + a0, N * E), aid)
                             return 0
 
                         jax.lax.fori_loop(0, jnp.where(link, na, 0), la, 0)
-                        s_al[ed(g, sel(link, gid_c * E + na, N * E))] = cur
+                        al_set(g, sel(link, gid_c * E + na, N * E), cur)
                         s_alc[nd(g, sel(link, gid_c, N))] = na + 1
-                        s_al[ed(g, sel(link, cur * E + na, N * E))] = gid_c
+                        al_set(g, sel(link, cur * E + na, N * E), gid_c)
                         s_alc[nd(g, sel(link, cur, N))] = na + 1
                         ovf_a = link & (na + 1 > A - 1)
                         err_now = jnp.where(
@@ -1187,7 +1277,7 @@ def _poa_kernel(
 
                         def fe(e0, acc):
                             return jnp.where(
-                                s_in_e[ed(g, cur * E + e0)] == head, e0, acc
+                                ie_get(ed(g, cur * E + e0)) == head, e0, acc
                             )
 
                         eslot = jax.lax.fori_loop(
@@ -1197,15 +1287,14 @@ def _poa_kernel(
                         bidx = ed(
                             g, sel(bump, cur * E + cn(eslot, E - 1), N * E)
                         )
-                        s_in_w[bidx] = s_in_w[bidx] + prev_w + w
+                        iw_add(bidx, prev_w + w)
                         app = act3 & (eslot == -1)
                         oc = cn(s_outc[nd(g, head_c)], E - 1)
                         ic_c = cn(ic, E - 1)
                         aidx = ed(g, sel(app, cur * E + ic_c, N * E))
-                        s_in_e[aidx] = head
-                        s_in_w[aidx] = prev_w + w
+                        iew_set(aidx, head, prev_w + w)
                         s_inc[nd(g, sel(app, cur, N))] = ic + 1
-                        s_out_e[ed(g, sel(app, head_c * E + oc, N * E))] = cur
+                        oe_set(g, sel(app, head_c * E + oc, N * E), cur)
                         s_outc[nd(g, sel(app, head_c, N))] = oc + 1
                         ovf_e = app & ((oc + 1 >= E) | (ic + 1 >= E))
                         err_fin = jnp.where(ovf_e, 2, err_now)
@@ -1222,8 +1311,11 @@ def _poa_kernel(
                         nprev.append(jnp.where(act2, w, prev_w))
                     return tuple(nheads), tuple(nprev)
 
+                def add_body2(t2, c):
+                    return add_body(2 * t2 + 1, add_body(2 * t2, c))
+
                 heads_f, _ = jax.lax.fori_loop(
-                    0, max_aln, add_body,
+                    0, (max_aln + 1) // 2, add_body2,
                     (
                         tuple(jnp.int32(-1) for _ in rg),
                         tuple(jnp.int32(0) for _ in rg),
@@ -1267,8 +1359,12 @@ def _poa_kernel(
                         nt.append(tails[g] + emit.astype(jnp.int32))
                     return tuple(nt)
 
+                def seed2(i2, c):
+                    return seed(2 * i2 + 1, seed(2 * i2, c))
+
                 tails = jax.lax.fori_loop(
-                    0, max_nc2, seed, tuple(jnp.int32(0) for _ in rg)
+                    0, (max_nc2 + 1) // 2, seed2,
+                    tuple(jnp.int32(0) for _ in rg),
                 )
 
                 def expand(i, tails):
@@ -1284,7 +1380,7 @@ def _poa_kernel(
                         for g in rg:
                             ok = e0 < bounds[g]
                             out = cn(
-                                s_out_e[ed(g, nodes[g] * E + cn(e0, E - 1))],
+                                oe_get(g, nodes[g] * E + cn(e0, E - 1)),
                                 N - 1,
                             )
                             lc = s_loc[nd(g, out)] - 1
@@ -1299,7 +1395,10 @@ def _poa_kernel(
 
                     return jax.lax.fori_loop(0, maxb, eb, tails)
 
-                jax.lax.fori_loop(0, max_nc2, expand, tails)
+                def expand2(i2, c):
+                    return expand(2 * i2 + 1, expand(2 * i2, c))
+
+                jax.lax.fori_loop(0, (max_nc2 + 1) // 2, expand2, tails)
 
         return 0
 
@@ -1324,8 +1423,8 @@ def _poa_kernel(
 
                     def eb(e0, c):
                         sc, p = c
-                        ew = s_in_w[ed(g, nid * E + e0)]
-                        begin = cn(s_in_e[ed(g, nid * E + e0)], N - 1)
+                        _b, ew = iew_get(ed(g, nid * E + e0))
+                        begin = cn(_b, N - 1)
                         take = (sc < ew) | (
                             (sc == ew)
                             & (p != -1)
@@ -1349,8 +1448,11 @@ def _poa_kernel(
                     nms.append(jnp.where(upd, sc, max_scs[g]))
                 return tuple(nmi), tuple(nms)
 
+            def cpass2(i2, c):
+                return cpass(2 * i2 + 1, cpass(2 * i2, c))
+
             max_ids, _ = jax.lax.fori_loop(
-                0, cmax_nc, cpass,
+                0, (cmax_nc + 1) // 2, cpass2,
                 (
                     tuple(jnp.int32(0) for _ in rg),
                     tuple(jnp.int32(-(1 << 30)) for _ in rg),
@@ -1375,11 +1477,11 @@ def _poa_kernel(
                     obound = jnp.where(act, cn(s_outc[nd(g, nid)], E), 0)
 
                     def clear_oe(e0, _):
-                        out = cn(s_out_e[ed(g, nid * E + e0)], N - 1)
+                        out = cn(oe_get(g, nid * E + e0), N - 1)
                         ibound = cn(s_inc[nd(g, out)], E)
 
                         def clear_ie(i0, _):
-                            iid = cn(s_in_e[ed(g, out * E + i0)], N - 1)
+                            iid = cn(ie_get(ed(g, out * E + i0)), N - 1)
                             s_csc[nd(g, sel(iid != nid, iid, N))] = -1
                             return 0
 
@@ -1397,9 +1499,9 @@ def _poa_kernel(
 
                         def eb(e0, c2):
                             sc, p = c2
-                            begin = cn(s_in_e[ed(g, node * E + e0)], N - 1)
+                            _b, ew = iew_get(ed(g, node * E + e0))
+                            begin = cn(_b, N - 1)
                             skip = s_csc[nd(g, begin)] == -1
-                            ew = s_in_w[ed(g, node * E + e0)]
                             take = ~skip & (
                                 (sc < ew)
                                 | (
@@ -1471,7 +1573,7 @@ def _poa_kernel(
 
                     def cv(a0, acc):
                         return acc + s_cov[
-                            nd(g, cn(s_al[ed(g, nid * E + a0)], N - 1))
+                            nd(g, cn(al_get(g, nid * E + a0), N - 1))
                         ]
 
                     cov = jax.lax.fori_loop(0, abound, cv, s_cov[nd(g, nid)])
@@ -1528,7 +1630,7 @@ def _poa_kernel(
                         done = s_mark[nid] == 2
 
                         def pp(e0, t2):
-                            b = s_in_e[nid * E + e0]
+                            b = ie_get(nid * E + e0)
                             push = (s_mark[b] != 2) & ~done
                             s_stack[jnp.where(push, t2 + 1, STK - 1)] = b
                             return t2 + push.astype(jnp.int32)
@@ -1537,7 +1639,7 @@ def _poa_kernel(
                         chk = s_chk[nid] == 1
 
                         def pa(a0, t2):
-                            aid = s_al[nid * E + a0]
+                            aid = al_get(0, nid * E + a0)
                             push = (s_mark[aid] != 2) & ~done & chk
                             s_stack[jnp.where(push, t2 + 1, STK - 1)] = aid
                             s_chk[jnp.where(push, aid, N)] = 0
@@ -1552,7 +1654,7 @@ def _poa_kernel(
                         s_col[jnp.where(emitc, nid, N)] = col
 
                         def ec(a0, _):
-                            aid = s_al[nid * E + a0]
+                            aid = al_get(0, nid * E + a0)
                             s_col[jnp.where(emitc, aid, N)] = col
                             return 0
 
@@ -1650,6 +1752,8 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         # past the dynamic band width are masked, so over-allocating is
         # semantics-free
         band_alloc = _pow2_lanes(band_alloc)
+    if L % 4:
+        raise ValueError("L must be a multiple of 4 (packed SMEM seqs)")
     if adaptive and not band_width:
         raise ValueError("adaptive banding requires band_width > 0")
     if interpret is None:
@@ -1682,8 +1786,10 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
     K = N + L
     MN = N + 8
     ME = N * E + 8
+    MEH = (N * E) // 2 + 8
     KP = K + 8
     R1 = N + 1
+    pack_ew = unit_w  # fused in-edge id/weight words need tiny weights
 
     kernel = functools.partial(
         _poa_kernel,
@@ -1691,7 +1797,13 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         gap=gap, mismatch=mismatch, match=match, MSA=msa, G=G, PH=phases,
         INTERP=interpret, BAND=band_alloc if band_width else 0,
         BAND_CFG=band_width, ADAPT=adaptive, UNIT_W=unit_w,
-        DBG=debug_scores_seq,
+        DBG=debug_scores_seq, PACK_EW=pack_ew,
+    )
+    # SMEM per-base sequence copy: four ASCII bytes per word (L % 4 == 0)
+    _s4 = seqs.reshape(B, S, L // 4, 4)
+    seqs_packed = (
+        _s4[..., 0] | (_s4[..., 1] << 8) | (_s4[..., 2] << 16)
+        | (_s4[..., 3] << 24)
     )
     Wv = band_alloc if band_width else Lp  # score/code row width
 
@@ -1702,7 +1814,7 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
             pl.BlockSpec((G, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((G, 1, S), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((G, S, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, S, L), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, S, L // 4), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (G, 1, 1) if unit_w else (G, S, L),
                 lambda b: (b, 0, 0), memory_space=pltpu.SMEM,
@@ -1737,10 +1849,12 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
             pltpu.SMEM((G * MN,), jnp.int32),   # s_loc
             pltpu.SMEM((G * MN,), jnp.int32),   # s_csc
             pltpu.SMEM((G * MN,), jnp.int32),   # s_cpr
-            pltpu.SMEM((G * ME,), jnp.int32),   # s_in_e
+            pltpu.SMEM((G * ME,), jnp.int32),   # s_in_e (packs in_w if pack_ew)
+        ] + ([] if pack_ew else [
             pltpu.SMEM((G * ME,), jnp.int32),   # s_in_w
-            pltpu.SMEM((G * ME,), jnp.int32),   # s_out_e
-            pltpu.SMEM((G * ME,), jnp.int32),   # s_al
+        ]) + [
+            pltpu.SMEM((G * MEH,), jnp.int32),  # s_out_e (2 ids/word)
+            pltpu.SMEM((G * MEH,), jnp.int32),  # s_al (2 ids/word)
             pltpu.SMEM((G * KP,), jnp.int32),   # s_ag
             pltpu.SMEM((G * KP,), jnp.int32),   # s_ar
             pltpu.SMEM((8 * G + 8,), jnp.int32),    # sm (per-window scalars)
@@ -1781,7 +1895,7 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
     )(
         nseqs.reshape(B, 1, 1).astype(jnp.int32),
         lens.reshape(B, 1, S).astype(jnp.int32),
-        seqs, seqs, wts,
+        seqs, seqs_packed, wts,
     )
     cons, cov, clen, err = out[:4]
     # uint8 consensus/msa: 4x fewer D2H bytes (values are ASCII bases)

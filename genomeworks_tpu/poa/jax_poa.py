@@ -1420,9 +1420,15 @@ def _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, msa,
                 # mirrors poa_consensus_pallas scratch_shapes (+2x pipeline
                 # buffering allowance on the SMEM input/output blocks);
                 # unit weights drop the per-base weight copy
+                # edge-list packing (ops/poa_pallas.py accessors):
+                # in_e+in_w fused per word when unit_w; out_e/al always
+                # two 16-bit ids per word; seqs SMEM copy 4 bytes/word
                 w = (
-                    11 * (N + 8) + 4 * (N * E_k + 8) + 2 * (K + 8)
-                    + (2 if unit_w else 4) * S * L
+                    11 * (N + 8)
+                    + (1 if unit_w else 2) * (N * E_k + 8)
+                    + 2 * ((N * E_k) // 2 + 8)
+                    + 2 * (K + 8)
+                    + 2 * S * (L // 4) + (0 if unit_w else 2 * S * L)
                     + 2 * N + 8 + (N + 1) + 16
                 )
                 if msa:
@@ -1584,10 +1590,13 @@ def _pallas_banded_plan(windows, max_nodes, max_edges, max_alignments,
             for N in n_cands:
                 K = N + L
                 w = (
-                    11 * (N + 8) + 4 * (N * E_k + 8) + 2 * (K + 8)
-                    + (2 if unit_w else 4) * S * L
+                    11 * (N + 8)
+                    + (1 if unit_w else 2) * (N * E_k + 8)
+                    + 2 * ((N * E_k) // 2 + 8)
+                    + 2 * (K + 8)
+                    + 2 * S * (L // 4) + (0 if unit_w else 2 * S * L)
                     + 2 * N + 8 + (N + 1) + 16
-                    + 2 * (N + 1 + 8)  # s_bnd + s_c0c
+                    + 2 * (N + 1 + 8) + 64  # s_bnd + s_c0c + s_pow2
                 )
                 if w * G * 4 > 900_000:
                     continue
