@@ -19,14 +19,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    # block_until_ready does not reliably block through the axon tunnel;
+    # a tiny D2H readback does
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(jax.lax.slice(leaves[0].reshape(-1), (0,), (1,)))
+
+
 def timed(fn, iters=5):
-    out = fn()
-    jax.block_until_ready(out)
+    _sync(fn())
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        _sync(fn())
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 

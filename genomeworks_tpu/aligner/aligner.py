@@ -222,6 +222,7 @@ class Aligner:
                 traceback_host_packed,
             )
             from genomeworks_tpu.ops.rle_traceback_pallas import (
+                rle_traceback_fits,
                 rle_traceback_pallas,
             )
 
@@ -243,6 +244,21 @@ class Aligner:
                         jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
                         jnp.asarray(tlen), bw,
                     )
+            if not rle_traceback_fits(q.shape[1], bw):
+                # long-sequence bucket: one alignment's code plane exceeds
+                # the RLE kernel's SMEM block. D2H only the REAL rows of
+                # the chunk (not the lane-padded batch) and walk on host —
+                # far cheaper than recompiling the whole bucket through
+                # the XLA fallback.
+                with annotate("aligner/host_traceback"):
+                    codes_h = np.asarray(codes[: len(idxs)])
+                    paths, edge = traceback_host_packed(
+                        codes_h, qlen[: len(idxs)], tlen[: len(idxs)],
+                        dlo[: len(idxs)], bw,
+                    )
+                return self._bucket_results(
+                    idxs, paths, edge, np.asarray(fits)
+                )
             # traceback stays on device; D2H is the RLE runs (~CIGAR-sized),
             # not the M/16 x W code planes (reference: myers_gpu.cu:444-530
             # emits RLE CIGARs device-side too)

@@ -43,6 +43,10 @@ R_BLOCK = 128
 B_BLOCK = 128
 
 
+def _roundup8(x):
+    return ((x + 7) // 8) * 8
+
+
 def _shift_down(x, s, fill=0):
     """Shift words toward higher index by s sublanes (word w reads w-s)."""
     if s == 0:
@@ -74,72 +78,98 @@ def _kernel(
     i0 = mi * R_BLOCK
     qlen = qlen_ref[:, :]  # (1, 128)
 
-    for r in range(R_BLOCK):
-        i = i0 + r + 1  # 1-based DP row
-        wbase = jnp.maximum(i // WBITS - 1, 0)
-        sl = pl.ds(wbase, WWS)
-
-        qrow = qT_ref[pl.ds(r, 1), :]  # (1, 128)
-        s0 = jnp.int32(0) - (qrow & 1)
-        s1 = jnp.int32(0) - ((qrow >> 1) & 1)
-        rv = jnp.int32(0) - (i <= qlen).astype(jnp.int32)  # row-valid mask
-
+    # The word window advances one word every WBITS rows, so the block's
+    # rows split into R_BLOCK//WBITS + 1 segments with a CONSTANT window
+    # base each. The dynamic sublane slices (6 loads + 2 stores) are
+    # hoisted out of the row loop, the window state lives in registers
+    # across a segment, and the working window is padded to a sublane-tile
+    # multiple (WWP = roundup(WWS, 8)) so every per-row vector op is
+    # tile-aligned. Segment seg covers rows i with i // WBITS ==
+    # R_BLOCK//WBITS * mi + seg; base = max(that - 1, 0) (the per-row
+    # formula). Table/state buffers are allocated NW + tile padding deep,
+    # so the padded slices never run past the buffer.
+    WWP = _roundup8(WWS)
+    q0 = (R_BLOCK // WBITS) * mi
+    seg_rows = [range(0, WBITS - 1)] + [
+        range(WBITS * t - 1, min(WBITS * (t + 1) - 1, R_BLOCK))
+        for t in range(1, R_BLOCK // WBITS + 1)
+    ]
+    for seg, rows in enumerate(seg_rows):
+        wb = jnp.maximum(q0 + seg - 1, 0)
+        sl = pl.ds(wb, WWP)
         tb0 = tb0_ref[sl, :]
         tb1 = tb1_ref[sl, :]
         val = val_ref[sl, :]
         pv = pv_s[sl, :]
         mv = mv_s[sl, :]
 
-        eq = (~(tb0 ^ s0)) & (~(tb1 ^ s1)) & val & rv
+        for r in rows:
+            i = i0 + r + 1  # 1-based DP row
 
-        xv = eq | mv
-        a = eq & pv
-        s = a + pv  # per-word sum (wraps)
-        # carry generate/propagate, Kogge-Stone prefix over words
-        g = (s.astype(jnp.uint32) < a.astype(jnp.uint32)).astype(jnp.int32)
-        p = (s == mone).astype(jnp.int32)
-        G, P = g, p
-        step = 1
-        while step < WWS:
-            G = G | (P & _shift_down(G, step))
-            P = P & _shift_down(P, step)
-            step *= 2
-        carry = _shift_down(G, 1)  # carry into word w from below
-        s = s + carry
-        xh = (s ^ pv) | eq
-        ph = mv | ~(xh | pv)
-        mh = pv & xh
+            qrow = qT_ref[pl.ds(r, 1), :]  # (1, 128)
+            s0 = jnp.int32(0) - (qrow & 1)
+            s1 = jnp.int32(0) - ((qrow >> 1) & 1)
+            rv = jnp.int32(0) - (i <= qlen).astype(jnp.int32)  # row valid
 
-        # (x << 1) across words; shift-in bits at the window base are the
-        # off-band steady state: Ph_in = 1, Mh_in = 0 (model docstring)
-        ph_lo = _shift_down(_srl(ph, 31), 1, fill=1)
-        mh_lo = _shift_down(_srl(mh, 31), 1, fill=0)
-        phs = ((ph << 1) | ph_lo).astype(jnp.int32)
-        mhs = ((mh << 1) | mh_lo).astype(jnp.int32)
+            eq = (~(tb0 ^ s0)) & (~(tb1 ^ s1)) & val & rv
 
-        pvn = mhs | ~(xv | phs)
-        mvn = phs & xv
-        pv_s[sl, :] = pvn
-        mv_s[sl, :] = mvn
+            xv = eq | mv
+            a = eq & pv
+            s = a + pv  # per-word sum (wraps)
+            # carry generate/propagate, Kogge-Stone prefix over words
+            g = (s.astype(jnp.uint32) < a.astype(jnp.uint32)).astype(jnp.int32)
+            p = (s == mone).astype(jnp.int32)
+            G, P = g, p
+            step = 1
+            while step < WWS:
+                G = G | (P & _shift_down(G, step))
+                P = P & _shift_down(P, step)
+                step *= 2
+            carry = _shift_down(G, 1)  # carry into word w from below
+            s = s + carry
+            xh = (s ^ pv) | eq
+            ph = mv | ~(xh | pv)
+            mh = pv & xh
 
-        # 2-bit codes: 2=insertion (PVn), 3=deletion (Ph), 1=mismatch.
-        # c1 = ins|del ; c0 = del&~ins | ~ins&~del&~eq
-        ins = pvn
-        c1 = ins | ph
-        c0 = (ph & ~ins) | (~ins & ~ph & ~eq)
-        c0_ref[pl.ds(r, 1), :, :] = c0[None, :, :]
-        c1_ref[pl.ds(r, 1), :, :] = c1[None, :, :]
+            # (x << 1) across words; shift-in bits at the window base are
+            # the off-band steady state: Ph_in = 1, Mh_in = 0
+            ph_lo = _shift_down(_srl(ph, 31), 1, fill=1)
+            mh_lo = _shift_down(_srl(mh, 31), 1, fill=0)
+            phs = ((ph << 1) | ph_lo).astype(jnp.int32)
+            mhs = ((mh << 1) | mh_lo).astype(jnp.int32)
+
+            pv = mhs | ~(xv | phs)
+            mv = phs & xv
+
+            # 2-bit codes: 2=insertion (PVn), 3=deletion (Ph), 1=mismatch.
+            # c1 = ins|del ; c0 = del&~ins | ~ins&~del&~eq
+            ins = pv
+            c1 = ins | ph
+            c0 = (ph & ~ins) | (~ins & ~ph & ~eq)
+            c0_ref[pl.ds(r, 1), :, :] = c0[None, :, :]
+            c1_ref[pl.ds(r, 1), :, :] = c1[None, :, :]
+
+        # only the live WWS words are written back: the padded tail words
+        # were updated prematurely (their correct state is still the
+        # off-band steady state until the window reaches them)
+        pv_s[pl.ds(wb, WWS), :] = pv[:WWS, :]
+        mv_s[pl.ds(wb, WWS), :] = mv[:WWS, :]
 
 
 def _pack_bits_words(bits, NW):
-    """(B, XS) bool -> (B, NW) int32 words, bit z at word z//32 bit z%32."""
+    """(B, XS) bool -> (B, NW) int32 words, bit z at word z//32 bit z%32.
+
+    log-tree combine (5 halving passes) instead of a 32-way shift/sum —
+    ~2 full-array passes of VPU work instead of ~60."""
     B, XS = bits.shape
-    pad = NW * WBITS - XS
-    b = jnp.pad(bits, ((0, 0), (0, pad)))
-    b = b.reshape(B, NW, WBITS).astype(jnp.int32)
-    return (b << jnp.arange(WBITS, dtype=jnp.int32)[None, None, :]).sum(
-        axis=2
-    ).astype(jnp.int32)
+    b = jnp.pad(bits, ((0, 0), (0, NW * WBITS - XS))).astype(jnp.int32)
+    x = b
+    sh = 1
+    while sh < WBITS:
+        x = x.reshape(B, -1, 2)
+        x = x[:, :, 0] | (x[:, :, 1] << sh)
+        sh *= 2
+    return x.reshape(B, NW)
 
 
 @functools.partial(jax.jit, static_argnames=("band_width", "interpret"))
@@ -171,26 +201,66 @@ def myers_banded_forward_pallas(
     XS = M + W + 2 * WBITS
     NW = (XS + WBITS - 1) // WBITS
     WWS = W // WBITS + 3
+    # tile-aligned working window + table padding (see _kernel); the
+    # output planes are WWP deep, the repack reads only the WWS live words
+    WWP = ((WWS + 7) // 8) * 8
+    NWP = NW + (WWP - WWS)
 
-    # pre-shifted target bit tables over xs = j - dlo (j = target column)
-    xs = jnp.arange(XS, dtype=jnp.int32)
-    j = xs[None, :] + dlo[:, None]
-    jvalid = (j >= 1) & (j <= tlen[:, None])
-    tchar = jnp.take_along_axis(
-        t.astype(jnp.int32), jnp.clip(j - 1, 0, N - 1), axis=1
-    )
-    TB0 = _pack_bits_words(((tchar & 1) != 0) & jvalid, NW)
-    TB1 = _pack_bits_words((((tchar >> 1) & 1) != 0) & jvalid, NW)
-    VAL = _pack_bits_words(jvalid, NW)
-    PV0 = _pack_bits_words(j >= 1, NW)
+    # pre-shifted target bit tables over xs = j - dlo (j = target column).
+    # Built in the WORD domain: the target's base bits are packed once at
+    # fixed alignment, then funnel-shifted per alignment by dlo-1 bits
+    # (word gather of NW words + two shifts) — the naive per-bit
+    # take_along_axis gather over XS columns was ~23 ms/1024 alignments,
+    # ~2.5x the DP kernel itself. Validity masks (j in [1, tlen]) have a
+    # closed word form, no bit packing at all. Bits outside [0, N) are 0
+    # here and masked by `val` in the kernel (as before).
+    NWT = (N + WBITS - 1) // WBITS
+    tb = t.astype(jnp.int32)
+    T0 = _pack_bits_words((tb & 1) != 0, NWT)
+    T1 = _pack_bits_words(((tb >> 1) & 1) != 0, NWT)
+    s = dlo - 1  # target-bit position of word 0 bit 0: p = 32w + z + s
+    qw = jnp.floor_divide(s, WBITS)
+    rb = (s - qw * WBITS)[:, None]  # 0..31
+    w_ids = jnp.arange(NW, dtype=jnp.int32)[None, :] + qw[:, None]
 
-    # lanes = batch: transpose tables to (NW, B) and q to (M, B)
+    def gword(T, ids):
+        ok = (ids >= 0) & (ids < NWT)
+        g = jnp.take_along_axis(T, jnp.clip(ids, 0, NWT - 1), axis=1)
+        return jnp.where(ok, g, 0)
+
+    def funnel(T):
+        lo = gword(T, w_ids)
+        hi = gword(T, w_ids + 1)
+        lo_s = jax.lax.shift_right_logical(lo, jnp.broadcast_to(rb, lo.shape))
+        hi_s = jnp.where(rb == 0, 0, hi << (WBITS - rb))
+        return lo_s | hi_s
+
+    TB0 = funnel(T0)
+    TB1 = funnel(T1)
+    # closed-form validity: bit z of word w covers j = 32w + z + dlo
+    wv = (jnp.arange(NW, dtype=jnp.int32) * WBITS)[None, :]
+    a = jnp.clip(1 - dlo[:, None] - wv, 0, WBITS)
+    b2 = jnp.clip(tlen[:, None] - dlo[:, None] - wv + 1, 0, WBITS)
+    m_ge = jnp.where(a >= WBITS, 0, (-1) << a)       # bits z >= a
+    m_le = jnp.where(b2 >= WBITS, -1, (1 << b2) - 1)  # bits z < b2
+    VAL = m_ge & m_le
+    PV0 = m_ge
+
+    # pad to NWP: tables with 0 (eq never set in the discarded tail), the
+    # initial PV with the all-ones off-band steady state
+    pad = ((0, 0), (0, NWP - NW))
+    TB0 = jnp.pad(TB0, pad)
+    TB1 = jnp.pad(TB1, pad)
+    VAL = jnp.pad(VAL, pad)
+    PV0 = jnp.pad(PV0, pad, constant_values=-1)
+
+    # lanes = batch: transpose tables to (NWP, B) and q to (M, B)
     TB0t, TB1t, VALt, PV0t = (x.T for x in (TB0, TB1, VAL, PV0))
     qT = q.astype(jnp.int32).T  # (M, B)
 
     B_blk = B_BLOCK if B % B_BLOCK == 0 else 128
     grid = (B // B_blk, M // R_BLOCK)
-    kernel = functools.partial(_kernel, WWS=WWS, NW=NW, B_BLK=B_blk)
+    kernel = functools.partial(_kernel, WWS=WWS, NW=NWP, B_BLK=B_blk)
     c0, c1 = pl.pallas_call(
         kernel,
         grid=grid,
@@ -199,28 +269,28 @@ def myers_banded_forward_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B_blk), lambda bi, mi: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW, B_blk), lambda bi, mi: (0, bi),
+            pl.BlockSpec((NWP, B_blk), lambda bi, mi: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW, B_blk), lambda bi, mi: (0, bi),
+            pl.BlockSpec((NWP, B_blk), lambda bi, mi: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW, B_blk), lambda bi, mi: (0, bi),
+            pl.BlockSpec((NWP, B_blk), lambda bi, mi: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW, B_blk), lambda bi, mi: (0, bi),
+            pl.BlockSpec((NWP, B_blk), lambda bi, mi: (0, bi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R_BLOCK, WWS, B_blk),
+            pl.BlockSpec((R_BLOCK, WWP, B_blk),
                          lambda bi, mi: (mi, 0, bi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_BLOCK, WWS, B_blk),
+            pl.BlockSpec((R_BLOCK, WWP, B_blk),
                          lambda bi, mi: (mi, 0, bi), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((M, WWS, B), jnp.int32),
-            jax.ShapeDtypeStruct((M, WWS, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, WWP, B), jnp.int32),
+            jax.ShapeDtypeStruct((M, WWP, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NW, B_blk), jnp.int32),
-            pltpu.VMEM((NW, B_blk), jnp.int32),
+            pltpu.VMEM((NWP, B_blk), jnp.int32),
+            pltpu.VMEM((NWP, B_blk), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -105,15 +105,20 @@ def _rle_kernel(
                 rr >= 15, jnp.int32(-1), (jnp.int32(1) << (2 * rr + 2)) - 1
             )
             below = word & mask
-            # msb index of `below` via branchless binary search (scalar
-            # f32-bitcast tricks are not lowerable in Mosaic)
+            # coarse msb of `below`: 2 binary-search steps (byte, then
+            # nibble granularity) + conservative round-up. The walk body
+            # is scalar-ISSUE-bound (~40 ops/step), so the exact 5-step
+            # search cost more than its extra skip distance bought; the
+            # coarse skip keeps whole-word jumps exact and partial-word
+            # jumps within 1 row of exact.
             vu = below.astype(jnp.uint32)
             ex = jnp.int32(0)
-            for sh in (16, 8, 4, 2, 1):
+            for sh in (16, 8):
                 c = (vu >> sh) != 0
                 ex = ex + jnp.where(c, sh, 0)
                 vu = jnp.where(c, vu >> sh, vu)
-            run0 = jnp.where(below == 0, rr + 1, rr - ex // 2)
+            # msb is in [ex, ex+7]; round up -> never skip past it
+            run0 = jnp.where(below == 0, rr + 1, rr - (ex + 7) // 2)
             can_skip = in_main & (code == 0)
             skip = jnp.clip(run0, 1, jnp.minimum(i, j))
             r = jnp.where(in_main, code, jnp.where(i > 0, 3, 2))
@@ -156,8 +161,11 @@ def _rle_kernel(
         tuple(jnp.bool_(False) for _ in rg),
         tuple(jnp.bool_(False) for _ in rg),
     )
+    def body2(c):
+        return body(body(c))
+
     iis, jjs, ns, ops, lens, dists, edges, ovfs = jax.lax.while_loop(
-        cond, body, init
+        cond, body2, init
     )
     for g in rg:
         # flush the final run
@@ -171,6 +179,13 @@ def _rle_kernel(
         dist_ref[g, 0, 0] = dists[g]
         edge_ref[g, 0, 0] = edges[g].astype(jnp.int32)
         ovf_ref[g, 0, 0] = (ovfs[g] | (has & (ns[g] >= RCAP))).astype(jnp.int32)
+
+
+def rle_traceback_fits(M: int, W: int) -> bool:
+    """Whether one alignment's packed codes fit the kernel's SMEM block
+    (long-sequence buckets fall back to the host walk over sliced codes)."""
+    M16 = (M + ROWS_PER_WORD - 1) // ROWS_PER_WORD
+    return M16 * W * 4 * 2 <= 800 * 1024
 
 
 @functools.partial(
@@ -194,15 +209,38 @@ def rle_traceback_pallas(
     if W != band_width:
         raise ValueError("codes width != band_width")
     M = M16 * ROWS_PER_WORD
-    G = 2 if B % 2 == 0 else 1
+    # G alignments walk per grid step; the codes SMEM block (G, M16, W)
+    # is the constraint (1 MB SMEM total)
+    blk = M16 * W * 4
+    if not rle_traceback_fits(M, W):
+        raise ValueError(
+            "codes block exceeds SMEM; use the host traceback for this "
+            "shape (Aligner does this automatically)"
+        )
+    G = 1
+    for cand in (3, 2):
+        if cand * blk * 2 <= 800 * 1024:  # x2 input buffering
+            G = cand
+            break
+    pad = (-B) % G
+    if pad:
+        # grid padding: qlen == 0 rows finish their walk immediately
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad, M16, W), codes.dtype)]
+        )
+        zi = jnp.zeros((pad,), jnp.int32)
+        qlen = jnp.concatenate([qlen.astype(jnp.int32), zi])
+        tlen = jnp.concatenate([tlen.astype(jnp.int32), zi])
+        dlo = jnp.concatenate([dlo.astype(jnp.int32), zi])
+    Bp = B + pad
 
     kernel = functools.partial(
         _rle_kernel, M=M, W=W, RCAP=rcap, G=G
     )
-    col = lambda v: v.astype(jnp.int32).reshape(B, 1, 1)
+    col = lambda v: v.astype(jnp.int32).reshape(Bp, 1, 1)
     runs, nruns, dist, edge, ovf = pl.pallas_call(
         kernel,
-        grid=(B // G,),
+        grid=(Bp // G,),
         in_specs=[
             pl.BlockSpec((G, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((G, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -219,15 +257,15 @@ def rle_traceback_pallas(
             pl.BlockSpec((G, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, rcap), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1, rcap), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1, 1), jnp.int32),
         ],
         interpret=interpret,
     )(col(qlen), col(tlen), col(dlo), codes)
     return (
-        runs[:, 0, :], nruns[:, 0, 0], dist[:, 0, 0],
-        edge[:, 0, 0] != 0, ovf[:, 0, 0] != 0,
+        runs[:B, 0, :], nruns[:B, 0, 0], dist[:B, 0, 0],
+        edge[:B, 0, 0] != 0, ovf[:B, 0, 0] != 0,
     )

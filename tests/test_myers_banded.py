@@ -99,7 +99,15 @@ def test_aligner_long_sequences_tpu():
 
     rng = np.random.default_rng(5)
     qs = generate_random_genome(100_000, rng)
-    ts = mutate_sequence(qs, rng, 0.05, 0.05)
+    # target: substitutions only plus one 1500-base deletion. The length
+    # difference forces the initial band to 2048 directly (one kernel
+    # shape, no retry ladder of fresh giant compiles), and the path drift
+    # (<= 1500 + substitution wander) fits that band. An unconstrained
+    # 5%+5% indel mutant at this seed drifts ~3400 diagonals — beyond any
+    # 2048 band (the kernel then rightly reports non-optimal), and the
+    # 4096-band compile at M=131072 is too slow for the test budget.
+    subs = mutate_sequence(qs, rng, snv_rate=0.05, indel_rate=0.0)
+    ts = subs[:50_000] + subs[51_500:]
     aligner = create_aligner(max_bandwidth=2048, engine="myers",
                              max_alignments_per_launch=1)
     aligner.add_alignment(qs, ts)
