@@ -95,7 +95,7 @@ def bench_mapper(iters=2):
         build_index_device,
         get_overlaps_device_pipeline,
     )
-    from genomeworks_tpu.mapper.overlapper import post_process_overlaps
+    from genomeworks_tpu.mapper.overlapper import post_process_overlaps_arrays
 
     p = create_fasta_parser(
         "/root/reference/cudamapper/data/covid-reads.fasta.gz"
@@ -104,8 +104,10 @@ def bench_mapper(iters=2):
 
     def run():
         idx = build_index_device(p, 0, n_reads, filtering_parameter=0.001)
-        ov = get_overlaps_device_pipeline(idx, idx, all_to_all=True)
-        return post_process_overlaps(ov, False)
+        ov = get_overlaps_device_pipeline(
+            idx, idx, all_to_all=True, as_arrays=True
+        )
+        return post_process_overlaps_arrays(ov, False)
 
     ov = run()  # compile + warm
     assert len(ov) > 100_000

@@ -348,11 +348,21 @@ def get_overlaps_device_pipeline(
     min_overlap_len: int = 250,
     min_bases_per_residue: int = 1000,
     min_overlap_fraction: float = 0.8,
-) -> list[Overlap]:
+    as_arrays: bool = False,
+) -> "list[Overlap] | OverlapArrays":
     """Anchors + overlaps for one index pair, device-resident end-to-end;
-    bit-identical to generate_anchors + get_overlaps on the host copies."""
+    bit-identical to generate_anchors + get_overlaps on the host copies.
+    ``as_arrays`` returns the columnar OverlapArrays (the production hot
+    path: at covid scale, building 200k Python Overlap objects costs more
+    than the device pipeline itself)."""
+    from genomeworks_tpu.mapper.overlapper import OverlapArrays
+
+    empty = (
+        OverlapArrays(*(np.zeros(0, np.int64) for _ in range(8)))
+        if as_arrays else []
+    )
     if q_index.n == 0 or t_index.n == 0:
-        return []
+        return empty
     uq_b = _pow2(max(q_index.u, 1))
     ut_b = _pow2(max(t_index.u, 1))
     with annotate("mapper/match_counts"):
@@ -366,7 +376,7 @@ def get_overlaps_device_pipeline(
         )
         total_i = int(total)
     if total_i == 0:
-        return []
+        return empty
     cap = _pow2(total_i)
     with annotate("mapper/expand_sort_chain"):
         count, sorted_out = _expand_sort_chain(
@@ -382,10 +392,17 @@ def get_overlaps_device_pipeline(
     )
     count_i = int(count)
     if count_i == 0:
-        return []
+        return empty
     o_qr, o_tr, o_qs, o_qe, t_lo, t_hi, rev, res = (
         np.asarray(x[:count_i]) for x in sorted_out
     )
+    if as_arrays:
+        return OverlapArrays(
+            query_read_id=o_qr, target_read_id=o_tr,
+            query_start=o_qs, query_end=o_qe,
+            target_start=t_lo, target_end=t_hi,
+            rev=rev != 0, num_residues=res,
+        )
     return [
         Overlap(
             query_read_id=int(o_qr[i]),

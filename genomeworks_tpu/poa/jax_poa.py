@@ -1434,7 +1434,7 @@ def _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, msa,
                 if msa:
                     w += (N + 1) * S + 8 + S + 8 + 3 * (N + 8) + 2 * N + 8
                     w += 2 * S * N  # msa output block (x2 buffering)
-                if w * G * 4 > 900_000:  # 1 MB SMEM minus headroom
+                if w * G * 4 > 860_000:  # 1 MB minus Mosaic overhead headroom  # 1 MB SMEM minus headroom
                     continue
                 vmem = G * ((N + 1) * (2 * Lp + 1) * 4 + 2 * S * L * 4)
                 if vmem > 14_000_000:
@@ -1598,7 +1598,7 @@ def _pallas_banded_plan(windows, max_nodes, max_edges, max_alignments,
                     + 2 * N + 8 + (N + 1) + 16
                     + 2 * (N + 1 + 8) + 64  # s_bnd + s_c0c + s_pow2
                 )
-                if w * G * 4 > 900_000:
+                if w * G * 4 > 860_000:  # 1 MB minus Mosaic overhead headroom
                     continue
                 vmem = G * (
                     (N + 1) * (2 * band_width + 1) * 4 + 2 * S * L * 4

@@ -113,3 +113,33 @@ def test_device_pipeline_empty_inputs():
     assert (
         get_overlaps_device_pipeline(dev_idx, dev_idx, all_to_all=True) == []
     )
+
+
+def test_overlap_arrays_path_matches_objects():
+    """The columnar (OverlapArrays) pipeline result and vectorized
+    post-processing are bit-identical to the Overlap-object path."""
+    import dataclasses
+
+    from genomeworks_tpu.io.fasta import create_fasta_parser
+    from genomeworks_tpu.mapper.device_pipeline import (
+        build_index_device,
+        get_overlaps_device_pipeline,
+    )
+    from genomeworks_tpu.mapper.overlapper import (
+        post_process_overlaps,
+        post_process_overlaps_arrays,
+    )
+
+    p = create_fasta_parser(
+        "/root/reference/cudamapper/data/covid-reads.fasta.gz"
+    )
+    n = min(len(p), 120)
+    idx = build_index_device(p, 0, n, filtering_parameter=0.001)
+    objs = get_overlaps_device_pipeline(idx, idx, all_to_all=True)
+    arrs = get_overlaps_device_pipeline(idx, idx, all_to_all=True,
+                                        as_arrays=True)
+    assert arrs.to_overlaps() == objs
+    for drop in (False, True):
+        ref = post_process_overlaps(objs, drop)
+        got = post_process_overlaps_arrays(arrs, drop).to_overlaps()
+        assert got == ref
