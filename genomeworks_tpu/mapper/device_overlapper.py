@@ -69,10 +69,14 @@ def chain_and_filter(
     min_overlap_len: int,
     min_bases_per_residue: int,
     min_overlap_fraction: float,
+    ocap: int | None = None,
 ):
-    """Traceable chaining body: sorted anchors → (count, full sorted
-    overlap arrays with the ok rows first). Shared by the standalone
-    device overlapper and the fused device pipeline."""
+    """Traceable chaining body: sorted anchors → (count, sorted overlap
+    arrays with the ok rows first, truncated to ``ocap`` rows). Shared by
+    the standalone device overlapper and the fused device pipeline.
+    Callers must re-run with a larger ocap if count > ocap."""
+    if ocap is None:
+        ocap = cap
     idx = jnp.arange(cap, dtype=jnp.int32)
     valid = idx < n
 
@@ -88,10 +92,15 @@ def chain_and_filter(
     same = same & (idx > 0)
     f = valid & ~same  # chain-start flag
 
-    # chain start index and chain end (= next start) per element
-    _, (start_i,) = _carry(f, [idx])
-    nf, (next_start,) = _carry(f, [idx], reverse=True, exclusive=True)
-    next_start = jnp.where(nf, next_start, n)
+    # chain start index and chain end (= next start) per element — carried
+    # values ARE the index, so the scans' extrema are the answers directly
+    # (no gather; gathers from anchor-scale tables run from HBM)
+    start_i = jnp.clip(jax.lax.cummax(jnp.where(f, idx, -1)), 0, None)
+    nxt = jax.lax.cummin(
+        jnp.where(f, idx, cap), reverse=True
+    )
+    next_start = jnp.concatenate([nxt[1:], jnp.full(1, cap, jnp.int32)])
+    next_start = jnp.where(next_start < cap, next_start, n)
     clen = next_start - start_i
 
     # 2. surviving chains (>= 3 anchors), flagged at their start element
@@ -120,11 +129,13 @@ def chain_and_filter(
     cum_incl = cum_excl + jnp.where(s, clen, 0)
 
     # last surviving start of each group: the next surviving start either
-    # doesn't exist or starts a new group (~fuse)
-    nsv, (ns_fuse,) = _carry(
-        s, [fuse.astype(jnp.int32)], reverse=True, exclusive=True
-    )
-    ls = s & (~nsv | (ns_fuse == 0))
+    # doesn't exist or starts a new group (~fuse). The fuse bit rides in
+    # the scanned value (idx*2 + fuse) — no gather.
+    packed = jnp.where(s, idx * 2 + fuse.astype(jnp.int32), 2 * cap)
+    nsp = jax.lax.cummin(packed, reverse=True)
+    nsp = jnp.concatenate([nsp[1:], jnp.full(1, 2 * cap, jnp.int32)])
+    nsv = nsp < 2 * cap
+    ls = s & (~nsv | ((nsp & 1) == 0))
 
     # carry group-last info back to the group start
     _, (g_cum, g_lq, g_lt, g_lqp, g_ltp) = _carry(
@@ -160,15 +171,18 @@ def chain_and_filter(
            > min_overlap_fraction)
     )
 
-    # compact by sort (ok-first, original order)
+    # compact: sort only (ok, idx) and gather the payload for the first
+    # ``ocap`` rows — sorting all eight payload arrays at anchor scale
+    # cost ~10x the 2-array sort, and callers only read `count` rows
     count = jnp.sum(ok.astype(jnp.int32))
     key = jnp.where(ok, 0, 1).astype(jnp.int32)
-    sorted_out = jax.lax.sort(
-        (key, idx, o_qr, o_tr, o_qs, o_qe, t_lo, t_hi,
-         reverse_s.astype(jnp.int32), residues),
-        num_keys=2, is_stable=False,
+    _, idx_s = jax.lax.sort((key, idx), num_keys=2, is_stable=False)
+    take = idx_s[:ocap] if ocap < cap else idx_s
+    return count, tuple(
+        v[take]
+        for v in (o_qr, o_tr, o_qs, o_qe, t_lo, t_hi,
+                  reverse_s.astype(jnp.int32), residues)
     )
-    return count, tuple(sorted_out[2:])
 
 
 @functools.partial(
@@ -189,8 +203,9 @@ def _overlaps_device(
     count, full = chain_and_filter(
         qrid, trid, qpos, tpos, n, cap, all_to_all, min_residues,
         min_overlap_len, min_bases_per_residue, min_overlap_fraction,
+        ocap=ocap,
     )
-    return count, tuple(x[:ocap] for x in full)
+    return count, full
 
 
 def get_overlaps_device(
