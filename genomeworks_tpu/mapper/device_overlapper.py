@@ -70,11 +70,13 @@ def chain_and_filter(
     min_bases_per_residue: int,
     min_overlap_fraction: float,
     ocap: int | None = None,
+    pack16: bool = False,
 ):
     """Traceable chaining body: sorted anchors → (count, sorted overlap
     arrays with the ok rows first, truncated to ``ocap`` rows). Shared by
     the standalone device overlapper and the fused device pipeline.
-    Callers must re-run with a larger ocap if count > ocap."""
+    Callers must re-run with a larger ocap if count > ocap. ``pack16``:
+    the caller guarantees read ids and positions fit 16 bits."""
     if ocap is None:
         ocap = cap
     idx = jnp.arange(cap, dtype=jnp.int32)
@@ -107,10 +109,24 @@ def chain_and_filter(
     s = f & (clen >= TAIL_LENGTH_FOR_CHAIN)
 
     # 3. fuse with the previous surviving chain (cuOverlapKey ==,
-    # overlapper_triggered.cu:89-103)
-    pv, (pqr, ptr2, pqs, pts) = _carry(
-        s, [qrid, trid, qpos, tpos], exclusive=True
-    )
+    # overlapper_triggered.cu:89-103). With pack16 (ids and positions
+    # < 2^16, known statically by the caller) the carried fields ride two
+    # packed words instead of four arrays — the carry gathers run from
+    # HBM at anchor scale, so halving them matters.
+    if pack16:
+        kid = (qrid << 16) | trid
+        kpos = (qpos << 16) | tpos
+
+        def unpack(v):
+            return (v >> 16) & 0xFFFF, v & 0xFFFF
+
+        pv, (pkid, pkpos) = _carry(s, [kid, kpos], exclusive=True)
+        pqr, ptr2 = unpack(pkid)
+        pqs, pts = unpack(pkpos)
+    else:
+        pv, (pqr, ptr2, pqs, pts) = _carry(
+            s, [qrid, trid, qpos, tpos], exclusive=True
+        )
     dq = jnp.abs(qpos - pqs)
     dt = jnp.abs(tpos - pts)
     fuse = s & pv & (qrid == pqr) & (trid == ptr2) & (jnp.abs(dq - dt) < 300)
@@ -120,9 +136,12 @@ def chain_and_filter(
     is_last = valid & (
         jnp.concatenate([f[1:], jnp.ones(1, jnp.bool_)]) | (idx + 1 >= n)
     )
-    _, (lq, lt, lqp, ltp) = _carry(
-        is_last, [qrid, trid, qpos, tpos], reverse=True
-    )
+    if pack16:
+        _, (lkid, lkpos) = _carry(is_last, [kid, kpos], reverse=True)
+    else:
+        _, (lq, lt, lqp, ltp) = _carry(
+            is_last, [qrid, trid, qpos, tpos], reverse=True
+        )
 
     # residues prefix over surviving chains
     cum_excl = jnp.cumsum(jnp.where(s, clen, 0)) - jnp.where(s, clen, 0)
@@ -138,9 +157,16 @@ def chain_and_filter(
     ls = s & (~nsv | ((nsp & 1) == 0))
 
     # carry group-last info back to the group start
-    _, (g_cum, g_lq, g_lt, g_lqp, g_ltp) = _carry(
-        ls, [cum_incl, lq, lt, lqp, ltp], reverse=True
-    )
+    if pack16:
+        _, (g_cum, g_lkid, g_lkpos) = _carry(
+            ls, [cum_incl, lkid, lkpos], reverse=True
+        )
+        g_lq, g_lt = unpack(g_lkid)
+        g_lqp, g_ltp = unpack(g_lkpos)
+    else:
+        _, (g_cum, g_lq, g_lt, g_lqp, g_ltp) = _carry(
+            ls, [cum_incl, lq, lt, lqp, ltp], reverse=True
+        )
 
     # 4. overlap fields at group starts (CreateOverlap,
     # overlapper_triggered.cu:196-238)

@@ -291,7 +291,7 @@ def _match_counts(q_uniq, q_first, t_uniq, t_first, uq_n, ut_n):
     jax.jit,
     static_argnames=("cap", "ocap", "all_to_all", "min_residues",
                      "min_overlap_len", "min_bases_per_residue",
-                     "min_overlap_fraction"),
+                     "min_overlap_fraction", "pack16"),
 )
 def _expand_sort_chain(
     q_rids, q_poss,  # (cap_nq,) uint32 — filtered, sorted index arrays
@@ -306,6 +306,7 @@ def _expand_sort_chain(
     min_overlap_len: int,
     min_bases_per_residue: int,
     min_overlap_fraction: float,
+    pack16: bool = False,
 ):
     """Materialize all anchors (query-occurrence outer, target-occurrence
     inner, matcher_gpu.cu:176-249), sort by the compound key, and chain
@@ -343,6 +344,7 @@ def _expand_sort_chain(
         qpos.astype(jnp.int32), tpos.astype(jnp.int32),
         total, cap, all_to_all, min_residues, min_overlap_len,
         min_bases_per_residue, min_overlap_fraction, ocap=ocap,
+        pack16=pack16,
     )
     return count, sorted_out
 
@@ -386,6 +388,17 @@ def get_overlaps_device_pipeline(
         return empty
     cap = _pow2(total_i)
     ocap = max(1024, cap // 32)
+    # 16-bit field packing for the chain carries: valid when every read
+    # id and position fits 16 bits (known statically from the indexes)
+    ids_max = max(
+        q_index.first_read_id + len(q_index.read_id_to_read_names),
+        t_index.first_read_id + len(t_index.read_id_to_read_names),
+    )
+    pos_max = max(
+        q_index.number_of_basepairs_in_longest_read,
+        t_index.number_of_basepairs_in_longest_read,
+    )
+    pack16 = ids_max <= 0xFFFF and pos_max <= 0xFFFF
     with annotate("mapper/expand_sort_chain"):
         while True:
             count, sorted_out = _expand_sort_chain(
@@ -398,6 +411,7 @@ def get_overlaps_device_pipeline(
                 min_residues=min_residues, min_overlap_len=min_overlap_len,
                 min_bases_per_residue=min_bases_per_residue,
                 min_overlap_fraction=min_overlap_fraction,
+                pack16=pack16,
             )
             count_i = int(count)
             if count_i <= ocap or ocap >= cap:
