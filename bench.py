@@ -69,9 +69,13 @@ def bench_poa_cpu(B=8, S=8, Lb=250, iters=3):
     return B / float(np.median(times))
 
 
-def bench_poa_cpu_native(B=64, S=8, Lb=250, iters=3):
-    """Honest single-core baseline: native scalar C++ POA
-    (native/spoa_cpu.cpp), bit-identical outputs to cpu_reference."""
+def bench_poa_cpu_native(B=64, S=8, Lb=250, iters=5):
+    """Honest single-core baseline: native C++ POA (native/spoa_cpu.cpp,
+    g++ -O3 auto-vectorized — a fair stand-in for SIMD SPOA),
+    bit-identical outputs to cpu_reference. The box has ONE CPU core, so
+    this is taken as the BEST of several trials to shed scheduling noise
+    (any contention only understates the baseline, never inflates the
+    TPU multiple)."""
     from genomeworks_tpu.poa import native_baseline
 
     if not native_baseline.available():
@@ -83,7 +87,7 @@ def bench_poa_cpu_native(B=64, S=8, Lb=250, iters=3):
         for w in windows:
             native_baseline.poa_consensus_native(w)
         times.append(time.perf_counter() - t0)
-    return B / float(np.median(times))
+    return B / float(np.min(times))
 
 
 def bench_mapper(iters=2):
@@ -225,9 +229,12 @@ def main():
         "metric": "poa_consensus_throughput",
         "value": round(tpu_wps, 1),
         "unit": "windows/s",
-        # honest baseline: native scalar C++ chain, single core
+        # honest baseline: native C++ chain, single core (best-of-N)
         "vs_baseline": (
             round(tpu_wps / cpu_native_wps, 2) if cpu_native_wps else None
+        ),
+        "cpu_native_windows_per_s": (
+            round(cpu_native_wps, 1) if cpu_native_wps else None
         ),
     }))
 

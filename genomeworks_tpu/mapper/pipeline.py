@@ -177,27 +177,51 @@ def _map_reads_device(
 
     q_cache: dict = {}
     t_cache: dict = {}
-    overlaps_all: list[Overlap] = []
-    for q_rng in q_ranges:
-        for t_rng in t_ranges:
-            if all_to_all and t_rng[0] < q_rng[0]:
-                continue
-            if q_rng not in q_cache:
-                q_cache[q_rng] = build(query_parser, q_rng)
-            q_index = q_cache[q_rng]
-            if all_to_all and q_rng == t_rng:
-                t_index = q_index
-            elif t_rng in t_cache:
-                t_index = t_cache[t_rng]
-            else:
-                t_index = t_cache[t_rng] = build(target_parser, t_rng)
 
+    def get_indexes(q_rng, t_rng):
+        if q_rng not in q_cache:
+            q_cache[q_rng] = build(query_parser, q_rng)
+        q_index = q_cache[q_rng]
+        if all_to_all and q_rng == t_rng:
+            t_index = q_index
+        elif t_rng in t_cache:
+            t_index = t_cache[t_rng]
+        else:
+            t_index = t_cache[t_rng] = build(target_parser, t_rng)
+        return q_index, t_index
+
+    pairs = [
+        (q_rng, t_rng)
+        for q_rng in q_ranges
+        for t_rng in t_ranges
+        if not (all_to_all and t_rng[0] < q_rng[0])
+    ]
+    overlaps_all: list[Overlap] = []
+    if not pairs:
+        return overlaps_all
+
+    # copy/compute overlap (the reference double-buffers the next index's
+    # H2D copy against the current batch's compute, main.cu:319-365): a
+    # single worker thread parses/packs/dispatches pair k+1's index while
+    # the main thread blocks on pair k's device sync (D2H releases the
+    # GIL). All builds go through the worker, so the caches are
+    # single-threaded.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(get_indexes, *pairs[0])
+        for k in range(len(pairs)):
+            q_index, t_index = fut.result()
+            if k + 1 < len(pairs):
+                fut = ex.submit(get_indexes, *pairs[k + 1])
             overlaps = get_overlaps_device_pipeline(
                 q_index, t_index, all_to_all,
                 params.min_residues, params.min_overlap_len,
                 params.min_bases_per_residue, params.min_overlap_fraction,
             )
-            overlaps = post_process_overlaps(overlaps, params.drop_fused_overlaps)
+            overlaps = post_process_overlaps(
+                overlaps, params.drop_fused_overlaps
+            )
             overlaps_all.extend(overlaps)
     return overlaps_all
 
