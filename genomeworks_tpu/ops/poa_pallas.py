@@ -1765,10 +1765,18 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
     # per-window sequence SMEM and raising the windows-per-step budget.
     if packed_seqs:
         # (B, S, L/4) 2-bit packed upload -> unpack on device (4x fewer
-        # H2D bytes through the tunnel)
+        # H2D bytes through the tunnel). Unpacked values are base codes
+        # 1..4 ((packed 2 bits) + 1) with positions past each read length
+        # re-zeroed from ``lens`` — pad cells must never equal a base
+        # (the banded read_pad guard cells compare as code 0,
+        # banded.py:110-111), and code 0 would alias base 'A' otherwise.
         Bp, Sp, L4 = seqs.shape
-        parts = [((seqs >> (2 * i)) & 3) for i in range(4)]
+        parts = [((seqs >> (2 * i)) & 3) + 1 for i in range(4)]
         seqs = jnp.stack(parts, axis=3).reshape(Bp, Sp, 4 * L4)
+        pos_l = jnp.arange(4 * L4, dtype=jnp.int32)[None, None, :]
+        seqs = jnp.where(
+            pos_l < lens.astype(jnp.int32)[:, :, None], seqs, 0
+        )
     seqs = seqs.astype(jnp.int32)
     unit_w = wts.size == 1
     if unit_w:
@@ -1898,9 +1906,13 @@ def poa_consensus_pallas(seqs, wts, lens, nseqs,
         seqs, seqs_packed, wts,
     )
     cons, cov, clen, err = out[:4]
-    # uint8 consensus/msa: 4x fewer D2H bytes (values are ASCII bases)
+    # uint8 consensus/msa: 4x fewer D2H bytes (values are ASCII bases);
+    # coverage too when its bound (S base + S*A aligned) fits a byte
+    cov_out = cov[:, 0, :]
+    if S * (A + 1) < 256:
+        cov_out = cov_out.astype(jnp.uint8)
     base = (
-        cons[:, 0, :].astype(jnp.uint8), cov[:, 0, :],
+        cons[:, 0, :].astype(jnp.uint8), cov_out,
         clen[:, 0, 0], err[:, 0, 0],
     )
     if msa:
