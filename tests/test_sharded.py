@@ -103,3 +103,20 @@ def test_aligner_step_sharded_matches_single():
     )(q, t, ql, tl)[:2]
     np.testing.assert_array_equal(np.asarray(dist_s), np.asarray(dist_1))
     np.testing.assert_array_equal(np.asarray(codes_s), np.asarray(codes_1))
+
+
+def test_multihost_degenerate_single_process():
+    """map_reads_multihost with one process equals plain map_reads (the
+    multi-host path's CI tier; real DCN runs differ only in the gather)."""
+    from genomeworks_tpu.io.fasta import create_fasta_parser
+    from genomeworks_tpu.mapper.pipeline import MapperParams, map_reads
+    from genomeworks_tpu.parallel.multihost import map_reads_multihost
+
+    p = create_fasta_parser(
+        "/root/reference/cudamapper/data/20_reads.fasta"
+    )
+    params = MapperParams(kmer_size=3, window_size=2,
+                          filtering_parameter=1.0)
+    ref = map_reads(p, p, params)
+    got = map_reads_multihost(p, p, params)
+    assert got == ref
