@@ -364,14 +364,40 @@ def _repack_chunk(c0, c1, i0: int, Mc: int, W: int, WWS: int):
 
     w0 = shear(c0)
     w1 = shear(c1)
-    # unpack bits to 2-bit codes per (B, M, W) then pack 16 rows per word
-    kbit = jnp.arange(WBITS, dtype=jnp.uint32)
-    b0 = ((w0[:, :, :, None] >> kbit) & 1).astype(jnp.int32)
-    b1 = ((w1[:, :, :, None] >> kbit) & 1).astype(jnp.int32)
-    code = (b1 << 1) | b0  # (B, Mc, WB, 32)
-    B = code.shape[0]
-    code = code.reshape(B, Mc, W)
+    # word-domain 16x32 bit transpose + Morton interleave: output word
+    # (b, m16, k) packs the 2-bit codes of rows 16*m16..+15 at column k.
+    # The old path unpacked every CELL to an int32 ((B, Mc, WB, 32)
+    # intermediates — ~0.5 GB per chunk at the bench shape); the masked
+    # swap network runs entirely on the word arrays (32x smaller).
+    B = w0.shape[0]
     M16 = Mc // ROWS_PER_WORD
-    code = code.reshape(B, M16, ROWS_PER_WORD, W)
-    shifts = (2 * jnp.arange(ROWS_PER_WORD, dtype=jnp.int32))[None, None, :, None]
-    return (code << shifts).sum(axis=2).astype(jnp.int32)
+
+    def transpose32(a):
+        # (..., 32, WB): output bit r of row j = input bit j of row r
+        for j, m in ((16, 0x0000FFFF), (8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                     (2, 0x33333333), (1, 0x55555555)):
+            sh = a.shape
+            g = a.reshape(sh[:-2] + (32 // (2 * j), 2, j) + sh[-1:])
+            lo, hi = g[..., 0, :, :], g[..., 1, :, :]
+            t = ((lo >> j) ^ hi) & jnp.uint32(m)
+            a = jnp.stack(
+                [lo ^ (t << j), hi ^ t], axis=-3
+            ).reshape(sh)
+        return a
+
+    def spread16(x):
+        x = x & jnp.uint32(0xFFFF)
+        x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+        x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+        x = (x | (x << 2)) & jnp.uint32(0x33333333)
+        x = (x | (x << 1)) & jnp.uint32(0x55555555)
+        return x
+
+    def tp(w):
+        g = w.reshape(B, M16, ROWS_PER_WORD, WB)
+        g = jnp.concatenate([g, jnp.zeros_like(g)], axis=2)
+        return transpose32(g)
+
+    out = spread16(tp(w0)) | (spread16(tp(w1)) << 1)
+    out = jnp.moveaxis(out, 2, 3).reshape(B, M16, W)
+    return out.astype(jnp.int32)
