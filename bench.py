@@ -3,7 +3,8 @@
 Headline: POA consensus throughput (windows/s) on the per-window Pallas
 kernel (the flagship compute path, reference: cudapoa generatePOAKernel),
 measured on the reference benchmark's workload shape (racon-style windows,
-~250 bp reads, 8 reads/window — cudapoa/benchmarks BM_SingleBatchTest).
+~250 bp reads, 8 reads/window, 1024-window batch — the top of
+cudapoa/benchmarks BM_SingleBatchTest's 1..1024 range).
 
 vs_baseline is HONEST: the single-core native C++ scalar implementation of
 the identical algorithm chain (native/spoa_cpu.cpp, bit-identical outputs,
@@ -40,7 +41,7 @@ def _make_windows(B, S, Lb, seed=0):
     return windows
 
 
-def bench_poa_tpu(B=512, S=8, Lb=250, iters=3):
+def bench_poa_tpu(B=1024, S=8, Lb=250, iters=3):
     from genomeworks_tpu.poa.jax_poa import poa_batch_consensus
 
     windows = _make_windows(B, S, Lb)
