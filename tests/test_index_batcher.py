@@ -87,7 +87,7 @@ def test_generate_batches_two_level():
 
 
 def test_host_index_cache_lru_and_hits():
-    from genomeworks_tpu.mapper.cache import CacheType, DeviceIndexCache, HostIndexCache
+    from genomeworks_tpu.mapper.cache import CacheType, HostIndexCache
 
     built = []
 
@@ -105,6 +105,42 @@ def test_host_index_cache_lru_and_hits():
     assert len(cache) == 2
     cache.get_index(d[1])  # rebuilt -> a new miss
     assert cache.misses == 4
-    dev = DeviceIndexCache(cache)
-    assert dev.get_index(d[2]) == "index-2"
-    dev.wait_for_data_to_be_ready()
+
+
+def test_device_index_cache_stages_usable_device_index():
+    """DeviceIndexCache uploads a host index once and the staged
+    DeviceIndex runs the device overlap pipeline bit-identically to a
+    directly-built device index (reference: DeviceIndexCache staging,
+    index_cache.cuh:55-160)."""
+    from genomeworks_tpu.io.fasta import create_fasta_parser
+    from genomeworks_tpu.mapper.batcher import IndexDescriptor
+    from genomeworks_tpu.mapper.cache import (
+        CacheType,
+        DeviceIndexCache,
+        HostIndexCache,
+    )
+    from genomeworks_tpu.mapper.device_pipeline import (
+        build_index_device,
+        get_overlaps_device_pipeline,
+    )
+    from genomeworks_tpu.mapper.index import build_index
+
+    path = "/root/reference/cudamapper/data/20_reads.fasta"
+    p = create_fasta_parser(path)
+    n = len(p)
+
+    host_cache = HostIndexCache(
+        CacheType.query_cache,
+        lambda d: build_index(p, d.first_read, d.number_of_reads,
+                              kmer_size=5, window_size=3),
+    )
+    dev_cache = DeviceIndexCache(host_cache)
+    desc = IndexDescriptor(0, n)
+    staged = dev_cache.get_index(desc)
+    dev_cache.wait_for_data_to_be_ready()
+    assert dev_cache.get_index(desc) is staged  # cached, no re-upload
+
+    direct = build_index_device(p, 0, n, kmer_size=5, window_size=3)
+    ov_staged = get_overlaps_device_pipeline(staged, staged, all_to_all=True)
+    ov_direct = get_overlaps_device_pipeline(direct, direct, all_to_all=True)
+    assert ov_staged == ov_direct
