@@ -45,6 +45,16 @@ Error codes in ``err`` match jax_poa's internal codes: 0 ok, 1 node-count
 overflow, 2 edge/alignment-count overflow, 3 NW traceback failure.
 Windows with nseqs == 0 (grid padding) report err = 1 and are skipped.
 
+Round-3 perf state (bench shape, G=8, marginal per window): NW ~0.26 ms,
+traceback ~0.10, add-alignment + topsort ~0.36, consensus ~0.04. The
+scalar phases are issue-bound on the scalar unit (~40 interleaved ops
+per walk step x G); measured non-levers: 2-step loop unrolling (~6%),
+fixed- vs dynamic-row VMEM stores (nil), G beyond 8 (SMEM-capped). The
+next big lever is architectural: lockstep-vectorizing the add/topsort
+walks across O(128) windows with graph state as VMEM planes and one-hot
+gather/scatter (per chase step: ~200 VPU cycles for 128 windows vs ~40
+scalar cycles per window today) — a different kernel, not a tweak.
+
 MSA mode currently requires G == 1 (the racon-exact DFS is a per-window
 stack walk; fusing it is a planned follow-up).
 """
