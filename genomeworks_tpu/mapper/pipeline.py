@@ -24,6 +24,7 @@ from genomeworks_tpu.mapper.overlapper import (
     Overlap,
     get_overlaps,
     post_process_overlaps,
+    post_process_overlaps_arrays,
 )
 
 
@@ -214,15 +215,16 @@ def _map_reads_device(
             q_index, t_index = fut.result()
             if k + 1 < len(pairs):
                 fut = ex.submit(get_indexes, *pairs[k + 1])
-            overlaps = get_overlaps_device_pipeline(
+            arrs = get_overlaps_device_pipeline(
                 q_index, t_index, all_to_all,
                 params.min_residues, params.min_overlap_len,
                 params.min_bases_per_residue, params.min_overlap_fraction,
+                as_arrays=True,
             )
-            overlaps = post_process_overlaps(
-                overlaps, params.drop_fused_overlaps
+            arrs = post_process_overlaps_arrays(
+                arrs, params.drop_fused_overlaps
             )
-            overlaps_all.extend(overlaps)
+            overlaps_all.extend(arrs.to_overlaps())
     return overlaps_all
 
 
