@@ -209,6 +209,38 @@ def bench_aligner_full(B=1024, M=2048, N=2048, W=256, iters=5):
     return B / dt, B * M * W / dt / 1e9
 
 
+def bench_extender(iters=3):
+    """Ungapped X-drop extension seeds/s on the bundled golden workload
+    (143670 seed pairs over the sample genome, reference:
+    cudaextender sample + Test_CudaextenderEnd2End)."""
+    from genomeworks_tpu.extender import (
+        create_extender,
+        encode_sequence,
+        parse_seed_pairs,
+    )
+    from genomeworks_tpu.io import create_fasta_parser
+
+    data = "/root/reference/cudaextender/data"
+    target = create_fasta_parser(f"{data}/sample.fa").get_sequence_by_id(0).seq
+    seeds = parse_seed_pairs(f"{data}/sample_seed_pairs.csv")
+    enc = encode_sequence(target)
+
+    def run():
+        ex = create_extender()
+        ex.extend_async(enc, enc, 3000, seeds)
+        ex.sync()
+        return ex.get_scored_segment_pairs()
+
+    ssps = run()
+    assert len(ssps) == 1337  # golden
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return len(seeds) / float(np.median(times))
+
+
 def aligner_speed_of_light_pct(gcells_per_s, W=256):
     """Fraction of the bit-parallel kernel's issue-bound ceiling.
 
@@ -267,6 +299,23 @@ def main():
             "metric": "overlap_mapping_throughput",
             "value": None,
             "unit": "reads/s",
+            "vs_baseline": None,
+            "error": str(e)[:120],
+        }))
+
+    try:
+        seeds_per_s = bench_extender()
+        print(json.dumps({
+            "metric": "xdrop_extension_throughput",
+            "value": round(seeds_per_s, 1),
+            "unit": "seeds/s",
+            "vs_baseline": None,
+        }))
+    except Exception as e:
+        print(json.dumps({
+            "metric": "xdrop_extension_throughput",
+            "value": None,
+            "unit": "seeds/s",
             "vs_baseline": None,
             "error": str(e)[:120],
         }))
