@@ -31,6 +31,23 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# Keep large freed blocks on the heap instead of munmapping them. The
+# deployment VM services fresh page faults at ~10 MB/s (measured: a 136 MB
+# numpy allocation takes ~7 s to first-touch despite 128 GB free), and
+# glibc's default M_MMAP_THRESHOLD returns every big freed buffer to the
+# OS — so each batched call re-faulted its working set from scratch.
+# Raising the trim/mmap thresholds makes buffer REUSE instant (0.02 s for
+# the same 136 MB). Opt out with GW_NO_MALLOC_TUNING=1.
+if not _os.environ.get("GW_NO_MALLOC_TUNING"):
+    try:
+        import ctypes as _ctypes
+
+        _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+        _libc.mallopt(_ctypes.c_int(-1), _ctypes.c_int(2**31 - 1))  # M_TRIM_THRESHOLD
+        _libc.mallopt(_ctypes.c_int(-3), _ctypes.c_int(2**31 - 1))  # M_MMAP_THRESHOLD
+    except Exception:  # pragma: no cover - non-glibc platform
+        pass
+
 # Persistent XLA compilation cache. On the TPU tunnel a cold compile of the
 # sketch/POA/aligner programs costs tens of seconds; the cache brings every
 # later process to warm-start. Safe with Pallas kernels because each kernel

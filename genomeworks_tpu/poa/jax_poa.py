@@ -1371,25 +1371,38 @@ def build_windows_graphs(
 
 
 def _pack_windows(windows, weights, S, L):
+    """(B, S, L) uint8 base matrix + weights/lengths/counts. One flat
+    encode + a single vectorized scatter: the per-sequence strided-write
+    loop cost ~150 us/sequence (14 s on the 5776-window covid workload)."""
     B = len(windows)
-    seqs = np.zeros((B, S, L), dtype=np.int32)
+    seqs = np.zeros((B, S, L), dtype=np.uint8)
     wts = np.ones((B, S, L), dtype=np.int32)
     lens = np.zeros((B, S), dtype=np.int32)
     nseqs = np.zeros(B, dtype=np.int32)
+    rows, chunks = [], []
     for b, w in enumerate(windows):
         nseqs[b] = len(w)
         for s, seq in enumerate(w):
-            e = np.frombuffer(seq.encode("latin1"), dtype=np.uint8)
-            seqs[b, s, : len(e)] = e
-            lens[b, s] = len(e)
-            if weights is not None:
-                wts[b, s, : len(e)] = weights[b][s]
+            lens[b, s] = len(seq)
+            rows.append(b * S + s)
+            chunks.append(seq)
+    flat = np.frombuffer("".join(chunks).encode("latin1"), dtype=np.uint8)
+    if flat.size:
+        ls = np.array([len(c) for c in chunks], dtype=np.int64)
+        row_rep = np.repeat(np.asarray(rows, dtype=np.int64), ls)
+        starts = np.concatenate(([0], np.cumsum(ls)[:-1]))
+        pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, ls)
+        seqs.reshape(-1)[row_rep * L + pos] = flat
+    if weights is not None:
+        for b, w in enumerate(windows):
+            for s in range(len(w)):
+                wts[b, s, : lens[b, s]] = weights[b][s]
     return seqs, wts, lens, nseqs
 
 
 
 def _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, msa,
-                     unit_w=False):
+                     unit_w=False, strict_caps=False):
     """Shape plan + feasibility for the per-window Pallas kernel. Returns
     (S, L, N, E_kernel, G) or None when the workload exceeds the kernel's
     SMEM/VMEM budget (graph state lives in SMEM, capped at 1 MB/core on
@@ -1413,6 +1426,11 @@ def _pallas_poa_plan(windows, max_nodes, max_edges, max_alignments, msa,
     )
     n_cands = [n for n in n_cands if n > Lmax]
     e_cands = [e for e in (max_edges, 24, 16) if e <= max_edges]
+    if strict_caps:
+        # capacity-redo plan: only the full caps (smaller G); used for
+        # windows that overflowed a fast reduced-cap plan
+        n_cands = n_cands[:1]
+        e_cands = e_cands[:1]
     for G in ((1,) if msa else (8, 6, 5, 4, 3, 2, 1)):
         for E_k in e_cands:
             for N in n_cands:
@@ -1449,73 +1467,108 @@ def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
     multiple of 64) bound the number of compiled kernel variants."""
     from genomeworks_tpu.ops.poa_pallas import poa_consensus_pallas
 
-    S, L, N, E_k, G = _pallas_poa_plan(
+    def run_plan(sub_windows, sub_weights, plan):
+        """One kernel pass at a given plan; returns (cons, cov, status,
+        err) lists (err = raw in-kernel code per window)."""
+        S, L, N, E_k, G = plan
+        seqs, wts, lens, nseqs = _pack_windows(sub_windows, sub_weights, S, L)
+        B = len(sub_windows)
+        pad = (-B) % G
+        if pad:
+            # grid padding: nseqs == 0 windows are skipped in-kernel
+            seqs = np.concatenate([seqs, np.zeros((pad, S, L), seqs.dtype)])
+            wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
+            lens = np.concatenate([lens, np.zeros((pad, S), np.int32)])
+            nseqs = np.concatenate([nseqs, np.zeros(pad, np.int32)])
+        # uint8 sequences + broadcastable unit weights: the upload rides
+        # a ~50 MB/s tunnel, the kernel widens on device. Pure-ACGT
+        # batches (the norm) upload 2-bit packed codes — 4x fewer H2D
+        # bytes again — and decode the consensus through a LUT ("\0ACGT",
+        # kernel codes 1..4; code 0 is the never-matching pad, see
+        # poa_consensus_pallas).
+        wts_dev = (
+            jnp.ones((1, 1, 1), jnp.int32) if sub_weights is None
+            else jnp.asarray(wts)
+        )
+        # LUT membership test — np.isin's sort-based path took 59 s on
+        # the covid workload's 30M bases
+        _ok = np.zeros(256, dtype=bool)
+        _ok[[0, 65, 67, 71, 84]] = True
+        acgt = bool(_ok[seqs].all())
+        if acgt:
+            lut = np.zeros(85, np.uint8)
+            lut[[65, 67, 71, 84]] = [0, 1, 2, 3]
+            codes = lut[seqs]  # 2-bit codes; pads map to 0 ('A') but are
+            # re-zeroed on device from lens after the +1 shift
+            c4 = codes.reshape(codes.shape[0], codes.shape[1], L // 4, 4)
+            packed = (
+                c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4)
+                | (c4[..., 3] << 6)
+            ).astype(np.uint8)
+            seqs_dev = jnp.asarray(packed)
+        else:
+            seqs_dev = jnp.asarray(seqs.astype(np.uint8))
+        cons, cov, length, err = poa_consensus_pallas(
+            seqs_dev, wts_dev, jnp.asarray(lens),
+            jnp.asarray(nseqs),
+            S=S, L=L, N=N, E=E_k, A=min(max_alignments, E_k),
+            gap=gap, mismatch=mismatch, match=match, windows_per_step=G,
+            packed_seqs=acgt,
+        )
+        cons = np.asarray(cons)
+        if acgt:
+            dec = np.frombuffer(b"\0ACGT\0\0\0", dtype=np.uint8)[:8]
+            cons = dec[cons & 7]
+        cov = np.asarray(cov).astype(np.int32)
+        length = np.asarray(length)
+        err = np.asarray(err)
+        o_cons, o_cov, o_st = [], [], []
+        for b in range(B):
+            if err[b] != 0:
+                o_cons.append("")
+                o_cov.append(np.zeros(0, np.int32))
+                o_st.append(int(err[b]))
+            else:
+                k = int(length[b])
+                o_cons.append(
+                    bytes(cons[b, :k][::-1].astype(np.uint8)).decode("latin1")
+                )
+                o_cov.append(cov[b, :k][::-1].copy())
+                o_st.append(0)
+        return o_cons, o_cov, o_st
+
+    plan = _pallas_poa_plan(
         windows, max_nodes, max_edges, max_alignments, False,
         unit_w=weights is None,
     )
+    S, L, N, E_k, G = plan
     N_full = 3 * L if max_nodes is None else min(max_nodes, 3 * L)
-    seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
-    B = len(windows)
-    pad = (-B) % G
-    if pad:
-        # grid padding: nseqs == 0 windows are skipped in-kernel
-        seqs = np.concatenate([seqs, np.zeros((pad, S, L), np.int32)])
-        wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
-        lens = np.concatenate([lens, np.zeros((pad, S), np.int32)])
-        nseqs = np.concatenate([nseqs, np.zeros(pad, np.int32)])
-    # uint8 sequences + broadcastable unit weights: the upload rides a
-    # ~50 MB/s tunnel, the kernel widens on device. Pure-ACGT batches
-    # (the norm) upload 2-bit packed codes — 4x fewer H2D bytes again —
-    # and decode the consensus through a LUT ("\0ACGT", kernel codes
-    # 1..4; code 0 is the never-matching pad, see poa_consensus_pallas).
-    wts_dev = (
-        jnp.ones((1, 1, 1), jnp.int32) if weights is None
-        else jnp.asarray(wts)
-    )
-    acgt = bool(np.isin(seqs, (0, 65, 67, 71, 84)).all())
-    if acgt:
-        lut = np.zeros(85, np.uint8)
-        lut[[65, 67, 71, 84]] = [0, 1, 2, 3]
-        codes = lut[seqs]  # 2-bit codes; pads map to 0 ('A') but are
-        # re-zeroed on device from lens after the +1 shift
-        c4 = codes.reshape(codes.shape[0], codes.shape[1], L // 4, 4)
-        packed = (
-            c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4)
-            | (c4[..., 3] << 6)
-        ).astype(np.uint8)
-        seqs_dev = jnp.asarray(packed)
-    else:
-        seqs_dev = jnp.asarray(seqs.astype(np.uint8))
-    cons, cov, length, err = poa_consensus_pallas(
-        seqs_dev, wts_dev, jnp.asarray(lens),
-        jnp.asarray(nseqs),
-        S=S, L=L, N=N, E=E_k, A=min(max_alignments, E_k),
-        gap=gap, mismatch=mismatch, match=match, windows_per_step=G,
-        packed_seqs=acgt,
-    )
-    cons = np.asarray(cons)
-    if acgt:
-        dec = np.frombuffer(b"\0ACGT\0\0\0", dtype=np.uint8)[:8]
-        cons = dec[cons & 7]
-    cov = np.asarray(cov).astype(np.int32)
-    length = np.asarray(length)
-    err = np.asarray(err)
-    out_cons, out_cov, out_status = [], [], []
-    redo = []
-    for b in range(len(windows)):
-        if err[b] != 0:
-            # with reduced in-kernel edge/node caps an error may be an
-            # artifact of the cap — re-run through the exact XLA path
-            if E_k < max_edges or N < N_full:
-                redo.append(b)
-            out_cons.append("")
-            out_cov.append(np.zeros(0, np.int32))
-            out_status.append(int(err[b]))
-        else:
-            k = int(length[b])
-            out_cons.append(bytes(cons[b, :k][::-1].astype(np.uint8)).decode("latin1"))
-            out_cov.append(cov[b, :k][::-1].copy())
-            out_status.append(0)
+    out_cons, out_cov, out_status = run_plan(windows, weights, plan)
+
+    # with reduced in-kernel edge/node caps an error may be a cap
+    # artifact; redo those windows at FULL caps through a second (smaller
+    # G) kernel plan first — ~8x faster than the XLA lockstep fallback
+    # that remains the last resort. On real racon workloads (16 noisy
+    # reads/window) most windows overflow the fast plan's node cap, so
+    # this second pass carries the bulk of the work.
+    redo = [
+        b for b, st in enumerate(out_status)
+        if st != 0 and (E_k < max_edges or N < N_full)
+    ]
+    if redo and (E_k < max_edges or N < N_full):
+        sub_w = [windows[b] for b in redo]
+        sub_wt = [weights[b] for b in redo] if weights else None
+        plan2 = _pallas_poa_plan(
+            sub_w, max_nodes, max_edges, max_alignments, False,
+            unit_w=weights is None, strict_caps=True,
+        )
+        if plan2 is not None and (plan2[2] > N or plan2[3] > E_k):
+            r_cons, r_cov, r_st = run_plan(sub_w, sub_wt, plan2)
+            for i, b in enumerate(redo):
+                out_cons[b], out_cov[b], out_status[b] = (
+                    r_cons[i], r_cov[i], r_st[i]
+                )
+            redo = [b for b in redo if out_status[b] != 0]
     if redo:
         r_cons, r_cov, r_st = poa_batch_consensus(
             [windows[b] for b in redo], gap, mismatch, match, max_nodes,
@@ -1698,7 +1751,7 @@ def poa_batch_consensus_banded(
     B = len(windows)
     pad = (-B) % G
     if pad:
-        seqs = np.concatenate([seqs, np.zeros((pad, S, L), np.int32)])
+        seqs = np.concatenate([seqs, np.zeros((pad, S, L), seqs.dtype)])
         wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
         lens = np.concatenate([lens, np.zeros((pad, S), np.int32)])
         nseqs = np.concatenate([nseqs, np.zeros(pad, np.int32)])
