@@ -91,6 +91,38 @@ def bench_poa_cpu_native(B=64, S=8, Lb=250, iters=5):
     return B / float(np.min(times))
 
 
+def bench_poa_real(iters=3):
+    """POA consensus windows/s on the committed REAL racon workload:
+    5776 covid windows (up to 16 noisy reads each, the scale of the
+    reference's BM_MultiBatchTest / Test_CudapoaBatchEnd2End). Consensus
+    is golden-checked — a throughput number that is also a correctness
+    gate."""
+    import gzip
+
+    from genomeworks_tpu.poa.jax_poa import poa_batch_consensus
+
+    windows = []
+    with gzip.open("tests/data/poa_windows_covid.txt.gz", "rt") as f:
+        remaining = 0
+        for line in f:
+            line = line.rstrip("\n")
+            if remaining == 0:
+                remaining = int(line)
+                windows.append([])
+            else:
+                windows[-1].append(line)
+                remaining -= 1
+    cons, cov, st = poa_batch_consensus(windows)
+    golden = open("tests/data/poa_golden_covid.txt").read().splitlines()
+    assert all(c == g for c, g in zip(cons, golden))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        poa_batch_consensus(windows)
+        times.append(time.perf_counter() - t0)
+    return len(windows) / float(np.median(times))
+
+
 def bench_mapper(iters=2):
     """Overlap mapping reads/s: covid all-vs-all through the
     device-resident pipeline (sketch -> index -> anchors -> chains on the
@@ -299,6 +331,23 @@ def main():
             "metric": "overlap_mapping_throughput",
             "value": None,
             "unit": "reads/s",
+            "vs_baseline": None,
+            "error": str(e)[:120],
+        }))
+
+    try:
+        real_wps = bench_poa_real()
+        print(json.dumps({
+            "metric": "poa_real_workload_throughput",
+            "value": round(real_wps, 1),
+            "unit": "windows/s (5776 covid windows, golden-checked)",
+            "vs_baseline": None,
+        }))
+    except Exception as e:
+        print(json.dumps({
+            "metric": "poa_real_workload_throughput",
+            "value": None,
+            "unit": "windows/s",
             "vs_baseline": None,
             "error": str(e)[:120],
         }))

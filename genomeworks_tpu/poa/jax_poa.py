@@ -1375,24 +1375,33 @@ def _pack_windows(windows, weights, S, L):
     encode + a single vectorized scatter: the per-sequence strided-write
     loop cost ~150 us/sequence (14 s on the 5776-window covid workload)."""
     B = len(windows)
-    seqs = np.zeros((B, S, L), dtype=np.uint8)
-    wts = np.ones((B, S, L), dtype=np.int32)
     lens = np.zeros((B, S), dtype=np.int32)
     nseqs = np.zeros(B, dtype=np.int32)
-    rows, chunks = [], []
+    # padded bytes join: builds the (B, S, L) matrix as ONE buffer with no
+    # index temporaries (np.repeat/arange over per-base int64 index arrays
+    # re-faulted hundreds of MB per call on the slow-page-fault VM)
+    zeros = {}
+
+    def zpad(n):
+        z = zeros.get(n)
+        if z is None:
+            z = zeros[n] = b"\0" * n
+        return z
+
+    parts = []
     for b, w in enumerate(windows):
         nseqs[b] = len(w)
         for s, seq in enumerate(w):
-            lens[b, s] = len(seq)
-            rows.append(b * S + s)
-            chunks.append(seq)
-    flat = np.frombuffer("".join(chunks).encode("latin1"), dtype=np.uint8)
-    if flat.size:
-        ls = np.array([len(c) for c in chunks], dtype=np.int64)
-        row_rep = np.repeat(np.asarray(rows, dtype=np.int64), ls)
-        starts = np.concatenate(([0], np.cumsum(ls)[:-1]))
-        pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, ls)
-        seqs.reshape(-1)[row_rep * L + pos] = flat
+            n = len(seq)
+            lens[b, s] = n
+            parts.append(seq.encode("latin1"))
+            if n < L:
+                parts.append(zpad(L - n))
+        if len(w) < S:
+            parts.append(zpad((S - len(w)) * L))
+    buf = b"".join(parts)
+    seqs = np.frombuffer(buf, dtype=np.uint8).reshape(B, S, L).copy()
+    wts = np.ones((B, S, L), dtype=np.int32)
     if weights is not None:
         for b, w in enumerate(windows):
             for s in range(len(w)):
