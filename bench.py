@@ -156,7 +156,7 @@ def bench_mapper(iters=2):
     return n_reads / float(np.median(times))
 
 
-def bench_aligner(B=1024, M=2048, N=2048, W=256, iters=5, engine="myers"):
+def bench_aligner(B=1024, M=2048, N=2048, W=256, iters=9, engine="myers"):
     import jax.numpy as jnp
 
     if engine == "myers":
@@ -193,7 +193,7 @@ def bench_aligner(B=1024, M=2048, N=2048, W=256, iters=5, engine="myers"):
     return B * M * W / max(t2 - t1, 1e-9) / 1e9
 
 
-def bench_aligner_full(B=1024, M=2048, N=2048, W=256, iters=5):
+def bench_aligner_full(B=1024, M=2048, N=2048, W=256, iters=9):
     """Full aligner device pipeline (bit-parallel forward + device RLE
     traceback) on realistic 95%-identity pairs — the end-to-end rate a
     mapper's align-overlaps stage sees. Marginal (t(2B)-t(B))."""
