@@ -51,22 +51,34 @@ class Aligner:
         max_alignments_per_launch: int = 512,
         use_pallas: bool | None = None,
         engine: str = "myers",
+        ukkonen_p: int = 16,
     ):
         """``engine``: "myers" (bit-parallel banded Myers forward,
         ops/myers_banded_pallas.py — 32 cells per int32 op, the analogue
         of the reference's primary myers_banded_gpu path) or "nw" (the
         per-cell banded wavefront, ops/banded_nw_pallas.py). Both feed the
         same device RLE traceback and produce identical paths under the
-        band-retry protocol."""
+        band-retry protocol.
+
+        "ukkonen" is the reference's legacy Ukkonen band policy
+        (cudaaligner/src/aligner_global_ukkonen.cpp, ukkonen_gpu.cu:40)
+        on the same device DP: the band is sized up-front from the
+        query/target length difference plus the radius ``ukkonen_p``
+        (diagonals [min(0, diff) - p, max(0, diff) + p] — identical to
+        ukkonen_cpu's band when W = |diff| + 2p + 1, see
+        banded_nw.band_offset) and never grows: like the reference
+        ukkonen aligner there is no retry; results are exact whenever the
+        optimal path stays in that band (is_optimal reports it)."""
         self.max_bandwidth = max_bandwidth
         if use_pallas is None:
             import jax
 
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
-        if engine not in ("myers", "nw"):
+        if engine not in ("myers", "nw", "ukkonen"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
+        self.ukkonen_p = ukkonen_p
         self.max_query_length = max_query_length
         self.max_target_length = max_target_length
         self.max_alignments_per_launch = max_alignments_per_launch
@@ -135,7 +147,11 @@ class Aligner:
                         if full:
                             # band spans every diagonal: result is exact
                             aln.is_optimal = True
-                        if aln.is_optimal or bw >= self.max_bandwidth:
+                        if (
+                            aln.is_optimal
+                            or bw >= self.max_bandwidth
+                            or self.engine == "ukkonen"  # fixed band, no retry
+                        ):
                             self._results[idx] = aln
                         else:
                             retry.append((idx, min(bw * 2, self.max_bandwidth)))
@@ -152,6 +168,11 @@ class Aligner:
     # -- internals ----------------------------------------------------------
     def _initial_band(self, e: _Entry) -> int:
         diff = abs(len(e.query) - len(e.target))
+        if self.engine == "ukkonen":
+            # Ukkonen band sizing (aligner_global_ukkonen.cpp): diagonals
+            # |j - i - diff_sign| within p of the length-difference path
+            bw = diff + 2 * self.ukkonen_p + 1
+            return min(bw, self._full_band(e))
         bw = max(64, next_pow2(diff + 1))
         return min(bw, self.max_bandwidth, self._full_band(e))
 
@@ -169,6 +190,8 @@ class Aligner:
         # engine's column-major planes scale with the 128-padded batch
         # (M x W/32+3 x 128) — multi-GB at 100 kb lengths.
         engine = self.engine
+        if engine == "ukkonen":
+            engine = "myers"  # band policy only; primary kernel underneath
         if engine == "myers" and mq > 8192:
             engine = "nw"
         if self.use_pallas and engine == "myers":

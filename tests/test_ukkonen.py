@@ -41,3 +41,52 @@ def test_ukkonen_narrow_band_is_band_limited():
     st = ukkonen_cpu(q, t, p=2)
     assert int(np.count_nonzero(st != 2)) == len(q)
     assert int(np.count_nonzero(st != 3)) == len(t)
+
+
+def test_ukkonen_engine_device_path():
+    """engine="ukkonen" — the reference's Ukkonen band policy driving the
+    device banded DP (aligner_global_ukkonen.cpp band sizing; no retry).
+    When the optimal distance fits the radius p, results are exact: edit
+    distance matches the NW oracle and ukkonen_cpu."""
+    from genomeworks_tpu.aligner.aligner import Aligner
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for i in range(12):
+        q = generate_random_genome(int(rng.integers(10, 200)), rng)
+        t = mutate_sequence(q, rng, 0.05, 0.05)
+        cases.append((q, t))
+    al = Aligner(engine="ukkonen", ukkonen_p=32)
+    for q, t in cases:
+        al.add_alignment(q, t)
+    al.align_all()
+    alns = al.get_alignments()
+    assert len(alns) == len(cases)
+    for (q, t), aln in zip(cases, alns):
+        d = edit_distance_cpu(q, t)
+        assert d <= 32  # p covers the optimal path for these cases
+        assert aln.is_optimal
+        st = np.asarray(aln.states)
+        assert int(np.count_nonzero(st != 0)) == d
+        assert int(np.count_nonzero(st != 2)) == len(q)
+        assert int(np.count_nonzero(st != 3)) == len(t)
+        assert ukkonen_edit_distance_cpu(q, t, p=32) == d
+
+
+def test_ukkonen_engine_no_retry_band_limited():
+    """A fixed tiny radius never grows the band (reference ukkonen has no
+    widen-and-retry); band-limited results are flagged non-optimal."""
+    from genomeworks_tpu.aligner.aligner import Aligner
+
+    # equal lengths (band stays at the pow2 of 2p+1) but the optimal path
+    # needs diagonals out to +-100: the fixed band cannot contain it
+    q = "A" * 100 + "C" * 100
+    t = "C" * 100 + "A" * 100
+    al = Aligner(engine="ukkonen", ukkonen_p=4)
+    al.add_alignment(q, t)
+    al.align_all()
+    (aln,) = al.get_alignments()
+    st = np.asarray(aln.states)
+    assert int(np.count_nonzero(st != 2)) == len(q)
+    assert int(np.count_nonzero(st != 3)) == len(t)
+    assert not aln.is_optimal
