@@ -99,6 +99,14 @@ class Aligner:
             return StatusType.exceeded_max_length
         if self.max_target_length is not None and len(target) > self.max_target_length:
             return StatusType.exceeded_max_length
+        if self.engine == "ukkonen" and self.max_target_length is not None:
+            # Ukkonen band sizing is driven by the length difference; the
+            # reference rejects oversized differences at add time rather
+            # than allocating a huge band (aligner_global_ukkonen.cpp:30,
+            # 53-58: |diff| > 0.1 * max_target_length).
+            max_diff = int(self.max_target_length * 0.1)
+            if abs(len(query) - len(target)) > max_diff:
+                return StatusType.exceeded_max_alignment_difference
         if reverse_complement_query:
             query = reverse_complement(query)
         if reverse_complement_target:
@@ -172,7 +180,11 @@ class Aligner:
             # Ukkonen band sizing (aligner_global_ukkonen.cpp): diagonals
             # |j - i - diff_sign| within p of the length-difference path
             bw = diff + 2 * self.ukkonen_p + 1
-            return min(bw, self._full_band(e))
+            # clamp to max_bandwidth: without it a large length difference
+            # (only possible when max_target_length is unset — add_alignment
+            # rejects it otherwise) would size multi-GB device code planes;
+            # the band-limited result reports is_optimal from the DP
+            return min(bw, self.max_bandwidth, self._full_band(e))
         bw = max(64, next_pow2(diff + 1))
         return min(bw, self.max_bandwidth, self._full_band(e))
 

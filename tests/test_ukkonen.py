@@ -90,3 +90,25 @@ def test_ukkonen_engine_no_retry_band_limited():
     assert int(np.count_nonzero(st != 2)) == len(q)
     assert int(np.count_nonzero(st != 3)) == len(t)
     assert not aln.is_optimal
+
+
+def test_ukkonen_engine_rejects_oversized_length_difference():
+    """The reference rejects |len(q) - len(t)| > 0.1 * max_target_length at
+    add time (aligner_global_ukkonen.cpp:30,53-58) instead of sizing a huge
+    band; without max_target_length the band clamps to max_bandwidth."""
+    from genomeworks_tpu.aligner.aligner import Aligner
+    from genomeworks_tpu.aligner.types import StatusType
+
+    al = Aligner(engine="ukkonen", max_target_length=1000, ukkonen_p=4)
+    st = al.add_alignment("A" * 500, "A" * 1000)  # diff 500 > 100
+    assert st == StatusType.exceeded_max_alignment_difference
+    assert al.add_alignment("A" * 950, "A" * 1000) == StatusType.success
+
+    # no max_target_length: accepted, but the band is clamped to
+    # max_bandwidth (not next_pow2(diff + 2p + 1))
+    al2 = Aligner(engine="ukkonen", max_bandwidth=64, ukkonen_p=4)
+    assert al2.add_alignment("A" * 10, "A" * 500) == StatusType.success
+    assert al2._initial_band(al2._entries[0]) <= 64
+    al2.align_all()
+    (aln,) = al2.get_alignments()
+    assert not aln.is_optimal
