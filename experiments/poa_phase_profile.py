@@ -40,9 +40,14 @@ def run(phases, B=64, S=8, Lb=250, iters=3):
     from genomeworks_tpu.poa.jax_poa import _pack_windows, _pallas_poa_plan
 
     windows = make_windows(B, S, Lb)
-    S_, L, N, E_k, G = _pallas_poa_plan(windows, None, 50, 50, False)
+    S_, L, N, E_k, G = _pallas_poa_plan(windows, None, 50, 50, False,
+                                        unit_w=True)
+    if B % G:
+        windows = windows + windows[: G - B % G]
+        B = len(windows)
     seqs, wts, lens, nseqs = _pack_windows(windows, None, S_, L)
-    args = (jnp.asarray(seqs), jnp.asarray(wts), jnp.asarray(lens), jnp.asarray(nseqs))
+    args = (jnp.asarray(seqs.astype(np.uint8)), jnp.ones((1, 1, 1), jnp.int32),
+            jnp.asarray(lens), jnp.asarray(nseqs))
     kw = dict(S=S_, L=L, N=N, E=E_k, A=min(50, E_k), phases=phases,
               windows_per_step=G)
     out = pp.poa_consensus_pallas(*args, **kw)
