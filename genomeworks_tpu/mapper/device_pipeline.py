@@ -284,6 +284,11 @@ def _match_counts(q_uniq, q_first, t_uniq, t_first, uq_n, ut_n):
     starts = jnp.cumsum(n_pairs) - n_pairs  # exclusive
     total = jnp.sum(n_pairs)
     t_first_m = jnp.where(matched, t_first[:-1][found_c], 0)
+    # masked counts: unmatched reps contribute zero pairs. The expansion
+    # derives per-occurrence pair counts from this directly, so the mask
+    # must live here (the old rep_idx+division math never read unmatched
+    # entries; the occurrence-base math does).
+    t_counts = jnp.where(matched, t_counts, 0)
     return starts, t_first_m, t_counts, total
 
 
@@ -310,29 +315,61 @@ def _expand_sort_chain(
 ):
     """Materialize all anchors (query-occurrence outer, target-occurrence
     inner, matcher_gpu.cu:176-249), sort by the compound key, and chain
-    into overlaps — one fused device program."""
+    into overlaps — one fused device program.
+
+    The expansion is division-free and gather-minimal (round 4; 2.0x on
+    the covid workload, experiments/expand_v2.py): per-QUERY-OCCURRENCE
+    anchor bases (exclusive cumsum of the matched target counts) are
+    scattered and forward-filled with ``cummax`` — the rightmost-tie
+    searchsorted trick — so the per-anchor occurrence index and base come
+    from two cummaxes instead of rep-level gathers plus ``rel // n_t`` /
+    ``rel % n_t`` (the VPU has no integer divide; XLA's expansion of it
+    at anchor scale was a major cost). Only occurrence-level (index-size)
+    gathers plus one monotone q-side and one t-side anchor-scale gather
+    remain; with ``pack16`` the (read id, position) pairs ride one u32
+    each, halving the anchor-scale gathers. Bit-identical anchors: same
+    (j -> anchor) mapping, same compound-key sort."""
     j = jnp.arange(cap, dtype=jnp.int32)
     in_range = j < total
-    # rep_idx = searchsorted(starts, j, 'right') - 1, computed as a
-    # scatter + cummax: searchsorted costs ~1.4 s at covid scale (8.4M
-    # probes = 21 gather rounds) while scatter-max + cummax is ~90 ms.
-    # Duplicate starts (zero-pair reps) resolve to the largest rep index,
-    # exactly like the rightmost-tie searchsorted.
-    iq_rep = jnp.arange(starts.shape[0], dtype=jnp.int32)
-    rep_idx = jax.lax.cummax(
-        jnp.zeros(cap, jnp.int32).at[starts].max(iq_rep)
-    )
-    rel = j - starts[rep_idx]
-    n_t = jnp.maximum(t_counts[rep_idx], 1)
-    q_idx = q_first[:-1][rep_idx] + rel // n_t
-    t_idx = t_first_m[rep_idx] + rel % n_t
-    q_idx = jnp.clip(q_idx, 0, q_rids.shape[0] - 1)
-    t_idx = jnp.clip(t_idx, 0, t_rids.shape[0] - 1)
+    nocc = q_rids.shape[0]
+    io = jnp.arange(nocc, dtype=jnp.int32)
+    ir = jnp.arange(starts.shape[0], dtype=jnp.int32)
 
-    qrid = jnp.where(in_range, q_rids[q_idx], jnp.uint32(0xFFFFFFFF))
-    trid = jnp.where(in_range, t_rids[t_idx], jnp.uint32(0xFFFFFFFF))
-    qpos = jnp.where(in_range, q_poss[q_idx], jnp.uint32(0xFFFFFFFF))
-    tpos = jnp.where(in_range, t_poss[t_idx], jnp.uint32(0xFFFFFFFF))
+    # --- occurrence level (index-size arrays, cheap gathers) ---
+    # rep of each query occurrence: rightmost rep with q_first <= p
+    rep_of_occ = jax.lax.cummax(
+        jnp.zeros(nocc, jnp.int32).at[q_first[:-1]].max(ir)
+    )
+    n_t_occ = t_counts[rep_of_occ]  # 0 for unmatched reps (masked)
+    tfm_occ = t_first_m[rep_of_occ]
+    bases_occ = (jnp.cumsum(n_t_occ) - n_t_occ).astype(jnp.int32)
+
+    # --- anchor level ---
+    # occurrence of each anchor: rightmost occurrence with base <= j
+    # (zero-pair occurrences tie on base and lose to the live one, like
+    # the duplicate-starts rightmost-tie searchsorted)
+    occ_idx = jax.lax.cummax(
+        jnp.zeros(cap, jnp.int32).at[bases_occ].max(io)
+    )
+    base_at = jax.lax.cummax(
+        jnp.zeros(cap, jnp.int32).at[bases_occ].max(bases_occ)
+    )
+    t_off = j - base_at
+    ones = jnp.uint32(0xFFFFFFFF)
+    if pack16:
+        qpk = ((q_rids << 16) | (q_poss & jnp.uint32(0xFFFF)))[occ_idx]
+        t_idx = jnp.clip(tfm_occ[occ_idx] + t_off, 0, t_rids.shape[0] - 1)
+        tpk = ((t_rids << 16) | (t_poss & jnp.uint32(0xFFFF)))[t_idx]
+        qrid = jnp.where(in_range, qpk >> 16, ones)
+        qpos = jnp.where(in_range, qpk & jnp.uint32(0xFFFF), ones)
+        trid = jnp.where(in_range, tpk >> 16, ones)
+        tpos = jnp.where(in_range, tpk & jnp.uint32(0xFFFF), ones)
+    else:
+        t_idx = jnp.clip(tfm_occ[occ_idx] + t_off, 0, t_rids.shape[0] - 1)
+        qrid = jnp.where(in_range, q_rids[occ_idx], ones)
+        qpos = jnp.where(in_range, q_poss[occ_idx], ones)
+        trid = jnp.where(in_range, t_rids[t_idx], ones)
+        tpos = jnp.where(in_range, t_poss[t_idx], ones)
 
     # the reference's compound-key anchor sort (matcher_gpu.cuh:176)
     qrid, trid, qpos, tpos = jax.lax.sort(
