@@ -106,26 +106,13 @@ def _earliest_max_scan(vals, poss):
     return jax.lax.associative_scan(combine, (vals, poss), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("is_left",))
-def _extend_direction(query, target, qpos, tpos, sub_flat, xdrop, is_left: bool):
-    """Run one direction for all seeds. Returns (max_score, max_pos) with
-    max_pos = -1 (right) / 0 (left) when no positive extension exists."""
-    S = qpos.shape[0]
+def _make_chunk_body(query, target, qpos, tpos, sub_flat, xdrop,
+                     is_left: bool):
+    """One 128-position lockstep step shared by the fixed phase-1 sweep
+    and the compacted phase-2 while_loop."""
     Lq = query.shape[0]
     Lt = target.shape[0]
     offs0 = jnp.arange(_CHUNK, dtype=jnp.int32)
-
-    init_pos = jnp.full((S,), -1 if not is_left else 0, jnp.int32)
-    state = (
-        jnp.zeros((S,), jnp.int32),  # prev_score (cumulative)
-        jnp.zeros((S,), jnp.int32),  # prev_max
-        init_pos,  # prev_max_pos
-        jnp.zeros((S,), jnp.bool_),  # done
-        jnp.int32(0),  # chunk index
-    )
-
-    def cond(state):
-        return ~jnp.all(state[3])
 
     def body(state):
         prev_score, prev_max, prev_max_pos, done, c = state
@@ -181,7 +168,88 @@ def _extend_direction(query, target, qpos, tpos, sub_flat, xdrop, is_left: bool)
 
         return (new_score, new_max, new_max_pos, done | finished_now, c + 1)
 
-    _, max_score, max_pos, _, _ = jax.lax.while_loop(cond, body, state)
+    return body
+
+
+def _init_state(S, is_left):
+    init_pos = jnp.full((S,), 0 if is_left else -1, jnp.int32)
+    return (
+        jnp.zeros((S,), jnp.int32),  # prev_score (cumulative)
+        jnp.zeros((S,), jnp.int32),  # prev_max
+        init_pos,  # prev_max_pos
+        jnp.zeros((S,), jnp.bool_),  # done
+        jnp.int32(0),  # chunk index
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("is_left", "n_chunks"))
+def _extend_fixed(query, target, qpos, tpos, sub_flat, xdrop,
+                  is_left: bool, n_chunks: int):
+    """Phase 1: a fixed number of chunks for every seed (no while_loop
+    sync); returns the full state for host-side compaction + resume."""
+    body = _make_chunk_body(query, target, qpos, tpos, sub_flat, xdrop,
+                            is_left)
+    return jax.lax.fori_loop(
+        0, n_chunks, lambda i, s: body(s), _init_state(qpos.shape[0], is_left)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("is_left",))
+def _extend_resume(query, target, qpos, tpos, sub_flat, xdrop,
+                   is_left: bool, prev_score, prev_max, prev_max_pos, done,
+                   c0):
+    """Phase 2: while_loop until every (compacted) straggler finishes."""
+    body = _make_chunk_body(query, target, qpos, tpos, sub_flat, xdrop,
+                            is_left)
+    state = (prev_score, prev_max, prev_max_pos, done, c0)
+    _, max_score, max_pos, _, _ = jax.lax.while_loop(
+        lambda s: ~jnp.all(s[3]), body, state
+    )
+    return max_score, max_pos
+
+
+#: chunks every seed runs before straggler compaction (512 bp covers the
+#: ~90th extent percentile of the golden workload)
+_PHASE1_CHUNKS = 4
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length()
+
+
+def _extend_direction(query, target, qpos, tpos, sub_flat, xdrop,
+                      is_left: bool):
+    """Run one direction for all seeds, two-tier: a fixed 512 bp lockstep
+    sweep for everyone, then straggler compaction (host-indexed, padded to
+    a power of two) and a while_loop on the survivors only. The reference
+    keeps warps busy with a device-wide work list (ungapped_xdrop.cu); the
+    lockstep formulation instead pays max-extension chunks for ALL seeds
+    unless compacted — on the golden workload the straggler tail is ~10%
+    of seeds but ~70% of the chunks. Returns (max_score, max_pos) as
+    NumPy arrays; max_pos = -1 (right) / 0 (left) when no positive
+    extension exists."""
+    st = _extend_fixed(query, target, qpos, tpos, sub_flat, xdrop,
+                       is_left, _PHASE1_CHUNKS)
+    prev_score, prev_max, prev_max_pos, done, c = st
+    done_np = np.asarray(done)
+    max_score = np.array(prev_max)  # writable copies
+    max_pos = np.array(prev_max_pos)
+    if done_np.all():
+        return max_score, max_pos
+    idx = np.nonzero(~done_np)[0]
+    m = _pow2(len(idx))
+    idxp = np.concatenate([idx, np.zeros(m - len(idx), np.int64)])
+    idxp_j = jnp.asarray(idxp, jnp.int32)
+    pad_done = jnp.asarray(np.arange(m) >= len(idx))
+    ms, mp = _extend_resume(
+        query, target, jnp.take(qpos, idxp_j), jnp.take(tpos, idxp_j),
+        sub_flat, xdrop, is_left,
+        jnp.take(prev_score, idxp_j), jnp.take(prev_max, idxp_j),
+        jnp.take(prev_max_pos, idxp_j),
+        jnp.take(done, idxp_j) | pad_done, c,
+    )
+    max_score[idx] = np.asarray(ms)[: len(idx)]
+    max_pos[idx] = np.asarray(mp)[: len(idx)]
     return max_score, max_pos
 
 
@@ -273,10 +341,10 @@ class UngappedXDrop:
 
         r_score, r_pos = _extend_direction(q, t, qpos, tpos, sub, xd, False)
         l_score, l_pos = _extend_direction(q, t, qpos, tpos, sub, xd, True)
-        r_score = np.asarray(r_score).astype(np.int64)
-        r_pos = np.asarray(r_pos).astype(np.int64)
-        l_score = np.asarray(l_score).astype(np.int64)
-        l_pos = np.asarray(l_pos).astype(np.int64)
+        r_score = r_score.astype(np.int64)
+        r_pos = r_pos.astype(np.int64)
+        l_score = l_score.astype(np.int64)
+        l_pos = l_pos.astype(np.int64)
 
         total = r_score + l_score
         extent = r_pos + l_pos  # reported length (kernels.cu:401,452)
@@ -285,18 +353,30 @@ class UngappedXDrop:
         if not self.no_entropy:
             need = (total >= score_threshold) & (total <= 3 * score_threshold)
             if need.any():
-                max_span = int((l_pos + r_pos).max(initial=0))
-                counts = np.asarray(
+                # entropy is only read for the `need` seeds — compact them
+                # (host-indexed, pow2-padded) so the match-count sweep runs
+                # over the needed spans only, not every seed at the global
+                # max span
+                nz = np.nonzero(need)[0]
+                m = _pow2(len(nz))
+                nzp = np.concatenate([nz, np.zeros(m - len(nz), np.int64)])
+                nzp_j = jnp.asarray(nzp, jnp.int32)
+                l_sub = l_pos[nzp]
+                r_sub = r_pos[nzp]
+                max_span = int((l_sub + r_sub).max(initial=0))
+                counts_sub = np.asarray(
                     _count_matches(
                         q,
                         t,
-                        qpos,
-                        tpos,
-                        jnp.asarray(l_pos, jnp.int32),
-                        jnp.asarray(r_pos, jnp.int32),
+                        jnp.take(qpos, nzp_j),
+                        jnp.take(tpos, nzp_j),
+                        jnp.asarray(l_sub, jnp.int32),
+                        jnp.asarray(r_sub, jnp.int32),
                         max_span,
                     )
-                ).astype(np.float64)
+                )
+                counts = np.zeros((len(total), 4), dtype=np.float64)
+                counts[nz] = counts_sub[: len(nz)].astype(np.float64)
                 csum = counts.sum(axis=1)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     p = counts / (extent + 1)[:, None].astype(np.float64)
