@@ -50,18 +50,32 @@ def _expand_sort_chain_body(
     starts, t_first_m, t_counts = starts[0], t_first_m[0], t_counts[0]
     total = total[0]
 
+    # occurrence-base expansion — same division-free scheme as
+    # device_pipeline._expand_sort_chain (t_counts arrives masked for
+    # unmatched reps from _match_counts)
     j = jnp.arange(cap, dtype=jnp.int32)
     in_range = j < total
-    rep_idx = jnp.searchsorted(starts, j, side="right").astype(jnp.int32) - 1
-    rep_idx = jnp.clip(rep_idx, 0, starts.shape[0] - 1)
-    rel = j - starts[rep_idx]
-    n_t = jnp.maximum(t_counts[rep_idx], 1)
-    q_idx = jnp.clip(q_first[:-1][rep_idx] + rel // n_t, 0, q_rids.shape[0] - 1)
-    t_idx = jnp.clip(t_first_m[rep_idx] + rel % n_t, 0, t_rids.shape[0] - 1)
+    nocc = q_rids.shape[0]
+    io = jnp.arange(nocc, dtype=jnp.int32)
+    ir = jnp.arange(starts.shape[0], dtype=jnp.int32)
+    rep_of_occ = jax.lax.cummax(
+        jnp.zeros(nocc, jnp.int32).at[q_first[:-1]].max(ir)
+    )
+    n_t_occ = t_counts[rep_of_occ]
+    tfm_occ = t_first_m[rep_of_occ]
+    bases_occ = (jnp.cumsum(n_t_occ) - n_t_occ).astype(jnp.int32)
+    occ_idx = jax.lax.cummax(
+        jnp.zeros(cap, jnp.int32).at[bases_occ].max(io)
+    )
+    base_at = jax.lax.cummax(
+        jnp.zeros(cap, jnp.int32).at[bases_occ].max(bases_occ)
+    )
+    t_idx = jnp.clip(tfm_occ[occ_idx] + (j - base_at), 0,
+                     t_rids.shape[0] - 1)
 
-    qrid = jnp.where(in_range, q_rids[q_idx], jnp.uint32(0xFFFFFFFF))
+    qrid = jnp.where(in_range, q_rids[occ_idx], jnp.uint32(0xFFFFFFFF))
     trid = jnp.where(in_range, t_rids[t_idx], jnp.uint32(0xFFFFFFFF))
-    qpos = jnp.where(in_range, q_poss[q_idx], jnp.uint32(0xFFFFFFFF))
+    qpos = jnp.where(in_range, q_poss[occ_idx], jnp.uint32(0xFFFFFFFF))
     tpos = jnp.where(in_range, t_poss[t_idx], jnp.uint32(0xFFFFFFFF))
 
     qrid, trid, qpos, tpos = jax.lax.sort(
