@@ -489,3 +489,551 @@ def tb_lockstep(state, codes, best_i, rl, act, err_nw, *, E: int, K: int,
         state["sortp"], state["in_count"], state["pos"], state["in_e"],
         best_i, rl, act, err_nw, codes,
     )
+
+
+# =========================================================================
+# Add-alignment walk (cudapoa_add_alignment.cuh via
+# jax_poa.add_alignment_batched_seq — the exact sequential semantics)
+# =========================================================================
+
+
+def _add_kernel(
+    ag_ref, ar_ref, klen_ref,       # alignment from the traceback
+    read_ref, wt_ref,               # (1, Lp, W) read chars / weights
+    act_ref,
+    # aliased input refs (same storage as the outputs below; unused names)
+    _n_i, _ic_i, _ie_i, _iw_i, _oc_i, _oe_i, _al_i, _alc_i, _cv_i,
+    _nc_i, _er_i,
+    # mutated state (aliased in/out — write through these)
+    nodes_ref, in_count_ref, in_e_ref, in_w_ref,
+    out_count_ref, out_e_ref, al_ref, alc_ref, cov_ref,
+    ncount_ref, err_ref,
+    *, N: int, E: int, EO: int, A: int, Lp: int, K: int, UNIT_W: bool,
+):
+    act0 = act_ref[0, pl.ds(0, 1), :] != 0
+    klen = klen_ref[0, pl.ds(0, 1), :]
+    max_len = jnp.max(jnp.where(act0, klen, 0))
+    read_pl = read_ref[0]
+    iN = _iota(N)
+
+    def step(t, carry):
+        head, prev_w, _tag = carry
+        errv = err_ref[0, pl.ds(0, 1), :]
+        pos = jnp.clip(klen - 1 - t, 0, K - 1)
+        act_t = act0 & (t < klen) & (errv == 0)
+        read_pos = _og(ar_ref[0], pos, K)
+        gid = _og(ag_ref[0], pos, K)
+        act = act_t & (read_pos != -1)
+        rp1 = jnp.clip(read_pos, 0, Lp - 2) + 1
+        base = _og(read_pl, rp1, Lp)
+        w = jnp.ones((1, W), jnp.int32) if UNIT_W else _og(wt_ref[0], rp1, Lp)
+
+        gid_c = jnp.clip(gid, 0, N - 1)
+        has_gid = act & (gid != -1)
+        gbase = _og(nodes_ref[0], gid_c, N)
+        na = jnp.where(has_gid, _og(alc_ref[0], gid_c, N), 0)
+        max_na = jnp.max(jnp.where(has_gid & (gbase != base), na, 0))
+
+        # aligned-node search (first matching base)
+        def al_scan(a, c):
+            found, first_al = c
+            aid = _og(al_ref[0, a], gid_c, N)
+            abase = _og(nodes_ref[0], jnp.clip(aid, 0, N - 1), N)
+            m = (a < na) & (abase == base)
+            first_al = jnp.where(m & (found == 0), aid, first_al)
+            return jnp.maximum(found, m.astype(jnp.int32)), first_al
+
+        found, first_al = jax.lax.fori_loop(
+            0, max_na, al_scan,
+            (jnp.zeros((1, W), jnp.int32), jnp.zeros((1, W), jnp.int32)),
+        )
+
+        ncount = ncount_ref[0, pl.ds(0, 1), :]
+        reuse_graph = has_gid & (gbase == base)
+        reuse_al = has_gid & ~reuse_graph & (found != 0)
+        new_node = act & ~reuse_graph & ~reuse_al
+        new_al = new_node & has_gid
+        cur = jnp.where(
+            reuse_graph, gid_c, jnp.where(reuse_al, first_al, ncount)
+        )
+        cur_c = jnp.clip(cur, 0, N - 1)
+        ncount2 = ncount + new_node.astype(jnp.int32)
+        errv = jnp.where(act & new_node & (ncount2 >= N) & (errv == 0),
+                         1, errv)
+        ncount_ref[0, pl.ds(0, 1), :] = jnp.where(act, ncount2, ncount)
+
+        # init new node
+        mnew = (iN == cur_c) & new_node
+        nodes_ref[0] = jnp.where(mnew, base, nodes_ref[0])
+        out_count_ref[0] = jnp.where(mnew, 0, out_count_ref[0])
+        in_count_ref[0] = jnp.where(mnew, 0, in_count_ref[0])
+        cov_ref[0] = jnp.where(mnew, 0, cov_ref[0])
+        alc_v = jnp.where(mnew, 0, alc_ref[0])
+
+        # aligned-list updates for a new aligned node (plane cap A -> err 6)
+        ok_cap = new_al & (na + 1 <= A - 1)
+        errv = jnp.where(new_al & (na + 1 > A - 1) & (errv == 0), 6, errv)
+
+        def al_upd(a, alc_v):
+            aid = _og(al_ref[0, a], gid_c, N)
+            aid_c = jnp.clip(aid, 0, N - 1)
+            m_a = ok_cap & (a < na)
+            acnt = _og(alc_v, aid_c, N)
+            macnt = jnp.minimum(acnt, A - 1)
+            for a2 in range(A):
+                al_ref[0, a2] = jnp.where(
+                    (iN == aid_c) & m_a & (macnt == a2), cur_c,
+                    al_ref[0, a2],
+                )
+            alc_v = _sc(alc_v, aid_c, acnt + 1, m_a, N)
+            # cur's own list entry a = aid
+            al_ref[0, a] = jnp.where(
+                (iN == cur_c) & m_a, aid_c, al_ref[0, a]
+            )
+            return alc_v
+
+        alc_v = jax.lax.fori_loop(0, max_na, al_upd, alc_v)
+
+        @pl.when(jnp.any(ok_cap))
+        def _():
+            alc2 = alc_ref[0]  # only for staleness-free reload pattern
+            del alc2
+            for a2 in range(A):
+                sel = ok_cap & (na == a2)
+                al_ref[0, a2] = jnp.where(
+                    (iN == gid_c) & sel, cur_c, al_ref[0, a2]
+                )
+                al_ref[0, a2] = jnp.where(
+                    (iN == cur_c) & sel, gid_c, al_ref[0, a2]
+                )
+
+        alc_v = _sc(alc_v, gid_c, na + 1, ok_cap, N)
+        alc_v = _sc(alc_v, cur_c, na + 1, ok_cap, N)
+        alc_ref[0] = alc_v
+
+        # edge insertion / weight update
+        has_head = act & (head != -1)
+        head_c = jnp.clip(head, 0, N - 1)
+        ic = jnp.where(has_head, _og(in_count_ref[0], cur_c, N), 0)
+        icc = jnp.minimum(ic, E)
+        max_ic = jnp.max(icc)
+        dw = prev_w + w
+
+        def e_scan(e, exists):
+            ie = _og(in_e_ref[0, e], cur_c, N)
+            m = has_head & (e < icc) & (ie == head)
+            # weight bump on every matching slot
+            in_w_ref[0, e] = jnp.where(
+                (iN == cur_c) & m, in_w_ref[0, e] + dw, in_w_ref[0, e]
+            )
+            return jnp.maximum(exists, m.astype(jnp.int32))
+
+        exists = jax.lax.fori_loop(
+            0, max_ic, e_scan, jnp.zeros((1, W), jnp.int32)
+        )
+        app = has_head & (exists == 0)
+        # plane-cap guard: appending needs ic < E and oc < EO slots
+        oc = jnp.where(app, _og(out_count_ref[0], head_c, N), 0)
+        cap_bad = app & ((ic >= E) | (oc >= EO))
+        errv = jnp.where(cap_bad & (errv == 0), 6, errv)
+        app = app & ~cap_bad
+
+        def e_app(e2, _):
+            me = app & (ic == e2)
+            in_e_ref[0, e2] = jnp.where(
+                (iN == cur_c) & me, head_c, in_e_ref[0, e2]
+            )
+            in_w_ref[0, e2] = jnp.where(
+                (iN == cur_c) & me, dw, in_w_ref[0, e2]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, jnp.minimum(max_ic + 1, E), e_app, 0)
+        in_count_ref[0] = jnp.where((iN == cur_c) & app,
+                                    in_count_ref[0] + 1, in_count_ref[0])
+
+        max_oc = jnp.max(jnp.where(app, oc, 0))
+
+        def o_app(e2, _):
+            me = app & (oc == e2)
+            out_e_ref[0, e2] = jnp.where(
+                (iN == head_c) & me, cur_c, out_e_ref[0, e2]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, jnp.minimum(max_oc + 1, EO), o_app, 0)
+        out_count_ref[0] = jnp.where(
+            (iN == head_c) & app, out_count_ref[0] + 1, out_count_ref[0]
+        )
+        # reference edge-count error (>= 50) is unreachable under the
+        # plane caps; cap hits are err 6 (retry tier) above.
+
+        cov_ref[0] = jnp.where((iN == cur_c) & act, cov_ref[0] + 1,
+                               cov_ref[0])
+        err_ref[0, pl.ds(0, 1), :] = errv
+        head = jnp.where(act, cur_c, head)
+        prev_w = jnp.where(act, w, prev_w)
+        return head, prev_w, _tag
+
+    jax.lax.fori_loop(
+        0, max_len, step,
+        (jnp.full((1, W), -1, jnp.int32), jnp.zeros((1, W), jnp.int32),
+         jnp.int32(_SRC_TAG)),
+    )
+
+
+def add_lockstep(state, ag, ar, klen, read_pl, wt_pl, act, *, E: int,
+                 EO: int, A: int, unit_w: bool = True,
+                 interpret: bool = False):
+    """Add the traceback alignments to the graphs in place. Returns the
+    updated state dict (aliased buffers donated)."""
+    NG, N, _ = state["nodes"].shape
+    Lp = read_pl.shape[1]
+    K = ag.shape[1]
+    b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
+    kern = functools.partial(_add_kernel, N=N, E=E, EO=EO, A=A, Lp=Lp, K=K,
+                             UNIT_W=unit_w)
+    mut = ["nodes", "in_count", "in_e", "in_w", "out_count", "out_e",
+           "al", "al_count", "cov", "node_count", "error"]
+    shapes = {k: state[k].shape for k in mut}
+    outs = pl.pallas_call(
+        kern,
+        grid=(NG,),
+        in_specs=[
+            b1(K, W), b1(K, W), b1(1, W), b1(Lp, W), b1(Lp, W), b1(1, W),
+            b1(N, W), b1(N, W), b1(E, N, W), b1(E, N, W),
+            b1(N, W), b1(EO, N, W), b1(A, N, W), b1(N, W), b1(N, W),
+            b1(1, W), b1(1, W),
+        ],
+        out_specs=tuple(
+            b1(*shapes[k][1:]) for k in mut
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(shapes[k], jnp.int32) for k in mut
+        ),
+        input_output_aliases={6 + i: i for i in range(len(mut))},
+        interpret=interpret,
+    )(
+        ag, ar, klen, read_pl, wt_pl, act,
+        state["nodes"], state["in_count"], state["in_e"], state["in_w"],
+        state["out_count"], state["out_e"], state["al"], state["al_count"],
+        state["cov"], state["node_count"], state["error"],
+    )
+    new_state = dict(state)
+    for k, v in zip(mut, outs):
+        new_state[k] = v
+    return new_state
+
+
+# =========================================================================
+# Topological sort (cudapoa_topsort.cuh:46 via jax_poa.topsort_batched)
+# =========================================================================
+
+
+def _topsort_kernel(
+    in_count_ref, out_count_ref, out_e_ref, ncount_ref, act_ref,
+    err_ref, _sp_i, _po_i,
+    sortp_ref, pos_ref, erro_ref,   # outputs (sortp/pos aliased)
+    local,                           # scratch (N, W)
+    *, N: int, EO: int,
+):
+    act = (act_ref[0, pl.ds(0, 1), :] != 0) & (
+        err_ref[0, pl.ds(0, 1), :] == 0
+    )
+    nc = ncount_ref[0, pl.ds(0, 1), :]
+    iN = _iota(N)
+    BIG = jnp.int32(1 << 20)
+    in_graph = iN < nc
+    local[...] = jnp.where(in_graph & act, in_count_ref[0], BIG)
+    is_seed = (local[...] == 0).astype(jnp.int32)
+    rank = _excl_cumsum_sub(is_seed, N)
+    tail0 = jnp.sum(is_seed, axis=0, keepdims=True)
+    max_t0 = jnp.max(jnp.where(act, tail0, 0))
+
+    def seed_body(p, _):
+        srt_p = jnp.min(
+            jnp.where((is_seed != 0) & (rank == p), iN, BIG), axis=0,
+            keepdims=True,
+        )
+        sel = act & (p < tail0)
+        old = sortp_ref[0, pl.ds(p, 1), :]
+        sortp_ref[0, pl.ds(p, 1), :] = jnp.where(sel, srt_p, old)
+        pos_ref[0] = _sc(pos_ref[0], jnp.clip(srt_p, 0, N - 1), p, sel, N)
+        return 0
+
+    jax.lax.fori_loop(0, max_t0, seed_body, 0)
+
+    max_nc = jnp.max(jnp.where(act, nc, 0))
+
+    def pop_body(i, c):
+        tail, _tag = c
+        node = sortp_ref[0, pl.ds(i, 1), :]
+        validv = act & (i < tail)
+        nodec = jnp.clip(node, 0, N - 1)
+        oc = jnp.where(validv, _og(out_count_ref[0], nodec, N), 0)
+        max_oc = jnp.max(oc)
+
+        def e_body(e, tail):
+            outv = _og(out_e_ref[0, e], nodec, N)
+            outc = jnp.clip(outv, 0, N - 1)
+            m = validv & (e < oc)
+            lv = _og(local[...], outc, N) - 1
+            local[...] = _sc(local[...], outc, lv, m, N)
+            newly = m & (lv == 0)
+            tailc = jnp.clip(tail, 0, N - 1)
+            sortp_ref[0] = jnp.where((iN == tailc) & newly, outc,
+                                     sortp_ref[0])
+            pos_ref[0] = _sc(pos_ref[0], outc, tail, newly, N)
+            return tail + newly.astype(jnp.int32)
+
+        tail = jax.lax.fori_loop(0, max_oc, e_body, tail)
+        return tail, _tag
+
+    tail, _ = jax.lax.fori_loop(
+        0, max_nc, pop_body, (tail0, jnp.int32(_SRC_TAG))
+    )
+    erro_ref[0, pl.ds(0, 1), :] = jnp.where(
+        act & (tail != nc), 100, err_ref[0, pl.ds(0, 1), :]
+    )
+
+
+def topsort_lockstep(state, act, *, EO: int, interpret: bool = False):
+    NG, N, _ = state["nodes"].shape
+    b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
+    kern = functools.partial(_topsort_kernel, N=N, EO=EO)
+    sortp, pos, err = pl.pallas_call(
+        kern,
+        grid=(NG,),
+        in_specs=[
+            b1(N, W), b1(N, W), b1(EO, N, W), b1(1, W), b1(1, W), b1(1, W),
+            b1(N, W), b1(N, W),
+        ],
+        out_specs=(b1(N, W), b1(N, W), b1(1, W)),
+        out_shape=(
+            jax.ShapeDtypeStruct((NG, N, W), jnp.int32),
+            jax.ShapeDtypeStruct((NG, N, W), jnp.int32),
+            jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
+        ),
+        input_output_aliases={6: 0, 7: 1},
+        interpret=interpret,
+        scratch_shapes=[pltpu.VMEM((N, W), jnp.int32)],
+    )(
+        state["in_count"], state["out_count"], state["out_e"],
+        state["node_count"], act, state["error"],
+        state["sortp"], state["pos"],
+    )
+    new_state = dict(state)
+    new_state["sortp"] = sortp
+    new_state["pos"] = pos
+    new_state["error"] = err
+    return new_state
+
+
+# =========================================================================
+# Consensus (cudapoa_generate_consensus.cuh via jax_poa.consensus_batched)
+# =========================================================================
+
+
+def _consensus_kernel(
+    nodes_ref, in_count_ref, in_e_ref, in_w_ref, out_count_ref,
+    out_e_ref, al_ref, alc_ref, cov_ref, sortp_ref, pos_ref,
+    ncount_ref, err_ref, act_ref,
+    cons_ref, covo_ref, len_ref, erro_ref,
+    scores, preds,                  # scratch (N, W)
+    *, N: int, E: int, EO: int, A: int,
+):
+    act0 = (act_ref[0, pl.ds(0, 1), :] != 0) & (
+        err_ref[0, pl.ds(0, 1), :] == 0
+    )
+    nc = ncount_ref[0, pl.ds(0, 1), :]
+    iN = _iota(N)
+    max_nc = jnp.max(jnp.where(act0, nc, 0))
+    scores[...] = jnp.full((N, W), -1, jnp.int32)
+    preds[...] = jnp.full((N, W), -1, jnp.int32)
+    _tag = jnp.int32(_SRC_TAG)
+
+    def row_update(nid, row_act, skip_cleared):
+        """Heaviest-in-edge selection with the reference tie-breaks."""
+        pc = jnp.where(row_act, _og(in_count_ref[0], nid, N), 0)
+        if skip_cleared:
+            s0 = jnp.full((1, W), -1, jnp.int32)
+        else:
+            s0 = _og(scores[...], nid, N)
+        p0 = jnp.full((1, W), -1, jnp.int32)
+        max_pc = jnp.max(pc)
+
+        def e_body(e, c):
+            s, p = c
+            begin = _og(in_e_ref[0, e], nid, N)
+            beginc = jnp.clip(begin, 0, N - 1)
+            ew = _og(in_w_ref[0, e], nid, N)
+            sc_begin = _og(scores[...], beginc, N)
+            use = row_act & (e < pc)
+            if skip_cleared:
+                use = use & (sc_begin != -1)
+            sc_pred = _og(scores[...], jnp.clip(p, 0, N - 1), N)
+            take = use & (
+                (s < ew) | ((s == ew) & (p != -1) & (sc_pred <= sc_begin))
+            )
+            s = jnp.where(take, ew, s)
+            p = jnp.where(take, begin, p)
+            return s, p
+
+        s, p = jax.lax.fori_loop(0, max_pc, e_body, (s0, p0))
+        sc_p = _og(scores[...], jnp.clip(p, 0, N - 1), N)
+        s = jnp.where(p != -1, s + sc_p, s)
+        return s, p
+
+    def fwd_body(gp, c):
+        mxs, mxi, _t = c
+        nid = jnp.clip(sortp_ref[0, pl.ds(gp, 1), :], 0, N - 1)
+        row_act = act0 & (gp < nc)
+        s, p = row_update(nid, row_act, False)
+        scores[...] = _sc(scores[...], nid, s, row_act, N)
+        preds[...] = _sc(preds[...], nid, p, row_act, N)
+        upd = row_act & (mxs <= s)
+        mxs = jnp.where(upd, s, mxs)
+        mxi = jnp.where(upd, nid, mxi)
+        return mxs, mxi, _t
+
+    _, max_id, _ = jax.lax.fori_loop(
+        0, max_nc, fwd_body,
+        (jnp.full((1, W), -1, jnp.int32), jnp.zeros((1, W), jnp.int32),
+         _tag),
+    )
+
+    # branch completion (branchCompletion, generate_consensus.cuh)
+    def bc_cond(c):
+        max_id, loops = c
+        oc = _og(out_count_ref[0], max_id, N)
+        return jnp.any(act0 & (oc != 0) & (loops < nc))
+
+    def bc_body(c):
+        max_id, loops = c
+        oc = _og(out_count_ref[0], max_id, N)
+        br = act0 & (oc != 0) & (loops < nc)
+        posv = _og(pos_ref[0], max_id, N)
+        max_oc = jnp.max(jnp.where(br, oc, 0))
+
+        def clear_body(oe, _):
+            outv = jnp.clip(_og(out_e_ref[0, oe], max_id, N), 0, N - 1)
+            m_oe = br & (oe < oc)
+            out_ic = jnp.where(m_oe, _og(in_count_ref[0], outv, N), 0)
+            max_ic = jnp.max(out_ic)
+
+            def i_body(e2, _):
+                ins = _og(in_e_ref[0, e2], outv, N)
+                m = m_oe & (e2 < out_ic) & (ins != max_id)
+                scores[...] = _sc(
+                    scores[...], jnp.clip(ins, 0, N - 1), -1, m, N
+                )
+                return 0
+
+            jax.lax.fori_loop(0, max_ic, i_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, max_oc, clear_body, 0)
+
+        def rescan_body(gp, c2):
+            mxs, mxi = c2
+            nid = jnp.clip(sortp_ref[0, pl.ds(gp, 1), :], 0, N - 1)
+            row_act = br & (gp > posv) & (gp < nc)
+            s, p = row_update(nid, row_act, True)
+            preds[...] = _sc(preds[...], nid, p, row_act, N)
+            scores[...] = _sc(scores[...], nid, s, row_act, N)
+            upd = row_act & (mxs <= s)
+            mxs = jnp.where(upd, s, mxs)
+            mxi = jnp.where(upd, nid, mxi)
+            return mxs, mxi
+
+        _, mxi = jax.lax.fori_loop(
+            0, max_nc, rescan_body,
+            (jnp.zeros((1, W), jnp.int32), jnp.zeros((1, W), jnp.int32)),
+        )
+        max_id = jnp.where(br, mxi, max_id)
+        loops = loops + br.astype(jnp.int32)
+        return max_id, loops
+
+    max_id, loops = jax.lax.while_loop(
+        bc_cond, bc_body, (max_id, jnp.zeros((1, W), jnp.int32))
+    )
+    errv = jnp.where(
+        act0 & (loops >= nc) & (loops > 0), 3,
+        err_ref[0, pl.ds(0, 1), :],
+    )
+
+    # backward emission
+    cons_ref[0] = jnp.zeros((N, W), jnp.int32)
+    covo_ref[0] = jnp.zeros((N, W), jnp.int32)
+    done0 = (~act0 | (errv != 0)).astype(jnp.int32)
+
+    def em_cond(c):
+        cur, k, done, steps = c
+        return jnp.any(done == 0) & (steps < N + 2)
+
+    def em_body(c):
+        cur, k, done, steps = c
+        a = done == 0
+        cur_c = jnp.clip(cur, 0, N - 1)
+        ch = _og(nodes_ref[0], cur_c, N)
+        cv = _og(cov_ref[0], cur_c, N)
+        nal = _og(alc_ref[0], cur_c, N)
+        max_nal = jnp.max(jnp.where(a, nal, 0))
+
+        def a_body(t, cv):
+            aid = _og(al_ref[0, t], cur_c, N)
+            alcov = _og(cov_ref[0], jnp.clip(aid, 0, N - 1), N)
+            return cv + jnp.where(t < nal, alcov, 0)
+
+        cv = jax.lax.fori_loop(0, max_nal, a_body, cv)
+        kc = jnp.clip(k, 0, N - 1)
+        mk = (iN == kc) & a
+        cons_ref[0] = jnp.where(mk, ch, cons_ref[0])
+        covo_ref[0] = jnp.where(mk, cv, covo_ref[0])
+        p = _og(preds[...], cur_c, N)
+        newly = a & (p == -1)
+        cur = jnp.where(a & ~newly, p, cur)
+        k = k + a.astype(jnp.int32)
+        done = jnp.maximum(done, newly.astype(jnp.int32))
+        return cur, k, done, steps + 1
+
+    _, length, _, _ = jax.lax.while_loop(
+        em_cond, em_body,
+        (max_id, jnp.zeros((1, W), jnp.int32), done0, jnp.int32(0)),
+    )
+    len_ref[0, pl.ds(0, 1), :] = jnp.where(act0 & (errv == 0), length, 0)
+    erro_ref[0, pl.ds(0, 1), :] = errv
+
+
+def consensus_lockstep(state, act, *, E: int, EO: int, A: int,
+                       interpret: bool = False):
+    """Returns (cons (NG, N, W) BACKWARD order, cov, length, err)."""
+    NG, N, _ = state["nodes"].shape
+    b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
+    kern = functools.partial(_consensus_kernel, N=N, E=E, EO=EO, A=A)
+    return pl.pallas_call(
+        kern,
+        grid=(NG,),
+        in_specs=[
+            b1(N, W), b1(N, W), b1(E, N, W), b1(E, N, W), b1(N, W),
+            b1(EO, N, W), b1(A, N, W), b1(N, W), b1(N, W), b1(N, W),
+            b1(N, W), b1(1, W), b1(1, W), b1(1, W),
+        ],
+        out_specs=(b1(N, W), b1(N, W), b1(1, W), b1(1, W)),
+        out_shape=(
+            jax.ShapeDtypeStruct((NG, N, W), jnp.int32),
+            jax.ShapeDtypeStruct((NG, N, W), jnp.int32),
+            jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
+            jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        state["nodes"], state["in_count"], state["in_e"], state["in_w"],
+        state["out_count"], state["out_e"], state["al"], state["al_count"],
+        state["cov"], state["sortp"], state["pos"], state["node_count"],
+        state["error"], act,
+    )
