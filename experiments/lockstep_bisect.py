@@ -1,8 +1,8 @@
-"""Parity: lockstep add-alignment + topsort kernels vs jax_poa chain.
+"""Bisect compiled-vs-interpret divergence per lockstep kernel.
 
-Runs R rounds where each round uses the lockstep kernels for NW, TB,
-add and topsort, and compares the full graph state against the XLA
-chain after every round."""
+Usage: python experiments/lockstep_bisect.py <rounds> <kernels-compiled>
+where kernels-compiled is a subset of "n,t,a,s,c" (nw, tb, add, sort,
+consensus)."""
 import sys
 
 import numpy as np
@@ -10,11 +10,6 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 import jax
-
-COMPILED = "--compiled" in sys.argv
-if not COMPILED:
-    jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp
 
 from genomeworks_tpu.poa import jax_poa as jp
@@ -25,9 +20,9 @@ from genomeworks_tpu.simulators.genomesim import (
     mutate_sequence,
 )
 
-args = [a for a in sys.argv[1:] if not a.startswith("-")]
-ROUNDS = int(args[0]) if args else 3
-B, S, Lb = 128, max(ROUNDS + 1, 6), 60
+ROUNDS = int(sys.argv[1])
+comp = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else set()
+B, S, Lb = 128, ROUNDS + 1, 60
 N, E, EO, A, D = 128, 7, 8, 8, 32
 
 rng = np.random.default_rng(7)
@@ -37,7 +32,6 @@ for _ in range(B):
     windows.append(
         [t] + [mutate_sequence(t, rng, 0.05, 0.05) for _ in range(S - 1)]
     )
-
 L = max(max(len(s) for s in w) for w in windows)
 seqs = np.zeros((B, S, L), np.int32)
 lens = np.zeros((B, S), np.int32)
@@ -62,45 +56,41 @@ rpl, lnp = ls.read_planes(seqs_j, lens_j, Lp)
 wt_pl = jnp.ones((NG, Lp, ls.W), jnp.int32)
 planes = ls.to_planes(state, NG)
 actp = jnp.ones((NG, 1, ls.W), jnp.int32)
-interp = not COMPILED
 
 ok = True
 for s in range(1, ROUNDS + 1):
     rl = lnp[:, s].reshape(NG, 1, ls.W)
     codes, best_i, err_nw = lk.nw_lockstep(
         planes, rpl[:, s], rl, actp, D=D,
-        gap=-8, mismatch=-6, match=8, interpret=interp)
+        gap=-8, mismatch=-6, match=8, interpret="n" not in comp)
     ag, ar, klen, err_tb = lk.tb_lockstep(
         planes, codes, best_i, rl, actp, err_nw, K=K, Lp=Lp,
-        interpret=interp)
+        interpret="t" not in comp)
     planes = dict(planes)
     planes["error"] = jnp.maximum(planes["error"], err_tb)
     planes = lk.add_lockstep(
         planes, ag, ar, klen, rpl[:, s], wt_pl, actp,
-        unit_w=True, interpret=interp)
-    planes = lk.topsort_lockstep(planes, actp, interpret=interp)
-
-    # reference chain
+        unit_w=True, interpret="a" not in comp)
+    planes = lk.topsort_lockstep(planes, actp,
+                                 interpret="s" not in comp)
     state, far = jp.poa_step_batched(
         state, seqs_j[:, s], lens_j[:, s], wts, act, s,
         gap=-8, mismatch=-6, match=8, max_dist=D, n_rows=N)
-    assert not bool(jnp.any(far))
-
     got = ls.from_planes(planes)
     ncs = np.asarray(state["node_count"])
-    for key in ("node_count", "nodes", "in_count", "in_edges", "in_w",
-                "out_count", "out_edges", "al", "al_count", "cov",
-                "sorted", "pos_of", "error"):
+    for key in ("error", "node_count", "nodes", "in_count", "in_edges",
+                "in_w", "out_count", "out_edges", "al", "al_count", "cov",
+                "sorted", "pos_of"):
         a_ref = np.asarray(state[key])
         a_got = np.asarray(got[key])
+        nbad = 0
         for b in range(B):
             n = ncs[b]
-            if key == "node_count" or key == "error":
+            if a_ref.ndim == 1:
                 va, vb = a_ref[b], a_got[b]
             elif a_ref.ndim == 2:
                 va, vb = a_ref[b, :n], a_got[b, :n]
             else:
-                # edge/al slots: only slots < count are defined
                 cnt_key = {"in_edges": "in_count", "in_w": "in_count",
                            "out_edges": "out_count", "al": "al_count"}[key]
                 cnts = np.asarray(state[cnt_key])[b, :n]
@@ -109,17 +99,11 @@ for s in range(1, ROUNDS + 1):
                 va = np.where(msk, a_ref[b, :n], 0)
                 vb = np.where(msk, a_got[b, :n, :ee], 0)
             if not np.array_equal(va, vb):
-                print(f"round {s}: key {key} mismatch at window {b}")
-                bad_at = np.argwhere(va != vb)[:4]
-                print("  at", bad_at.tolist(), "ref", va[tuple(bad_at[0])],
-                      "got", vb[tuple(bad_at[0])])
-                ok = False
-                break
-        if not ok:
-            break
+                nbad += 1
+        if nbad:
+            print(f"round {s}: {key} mismatch in {nbad} windows")
+            ok = False
     if not ok:
         break
-    print(f"round {s}: graph state parity OK (max nc "
-          f"{int(np.asarray(state['node_count']).max())})")
-
-print("ALL OK" if ok else "MISMATCH")
+    print(f"round {s} OK")
+print("ALL OK" if ok else "DIVERGED")

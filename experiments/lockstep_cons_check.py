@@ -64,20 +64,20 @@ interp = not COMPILED
 for s in range(1, S):
     rl = lnp[:, s].reshape(NG, 1, ls.W)
     codes, best_i, err_nw = lk.nw_lockstep(
-        planes, rpl[:, s], rl, actp, E=E, D=D,
+        planes, rpl[:, s], rl, actp, D=D,
         gap=-8, mismatch=-6, match=8, interpret=interp)
     ag, ar, klen, err_tb = lk.tb_lockstep(
-        planes, codes, best_i, rl, actp, err_nw, E=E, K=K, Lp=Lp,
+        planes, codes, best_i, rl, actp, err_nw, K=K, Lp=Lp,
         interpret=interp)
     planes = dict(planes)
     planes["error"] = jnp.maximum(planes["error"], err_tb)
     planes = lk.add_lockstep(
         planes, ag, ar, klen, rpl[:, s], wt_pl, actp,
-        E=E, EO=EO, A=A, unit_w=True, interpret=interp)
-    planes = lk.topsort_lockstep(planes, actp, EO=EO, interpret=interp)
+        unit_w=True, interpret=interp)
+    planes = lk.topsort_lockstep(planes, actp, interpret=interp)
 
 cons, cov, length, err = lk.consensus_lockstep(
-    planes, actp, E=E, EO=EO, A=A, interpret=interp)
+    planes, actp, interpret=interp)
 cons = np.asarray(jnp.transpose(cons, (0, 2, 1)).reshape(B, N))
 cov = np.asarray(jnp.transpose(cov, (0, 2, 1)).reshape(B, N))
 length = np.asarray(length).reshape(B)

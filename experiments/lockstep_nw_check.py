@@ -86,14 +86,14 @@ actp = jnp.ones((NG, 1, ls.W), jnp.int32)
 
 codes, best_i, err_nw = lk.nw_lockstep(
     planes, rpl[:, s], lnp[:, s : s + 1].reshape(NG, 1, ls.W), actp,
-    E=E, D=D, gap=-8, mismatch=-6, match=8, interpret=not COMPILED,
+    D=D, gap=-8, mismatch=-6, match=8, interpret=not COMPILED,
 )
 K = N + L + 2
 K = ((K + 7) // 8) * 8
 ag1, ar1, k1, err_tb = lk.tb_lockstep(
     planes, codes, best_i,
     lnp[:, s : s + 1].reshape(NG, 1, ls.W), actp, err_nw,
-    E=E, K=K, Lp=Lp, interpret=not COMPILED,
+    K=K, Lp=Lp, interpret=not COMPILED,
 )
 ag1 = np.asarray(jnp.transpose(ag1, (0, 2, 1)).reshape(B, K))
 ar1 = np.asarray(jnp.transpose(ar1, (0, 2, 1)).reshape(B, K))

@@ -291,12 +291,15 @@ def _nw_kernel(
     err_ref[0, pl.ds(0, 1), :] = jnp.where(act, errv, 0)
 
 
-def nw_lockstep(state, read_pl, rl, act, *, E: int, D: int,
+def nw_lockstep(state, read_pl, rl, act, *, D: int,
                 gap: int, mismatch: int, match: int,
                 interpret: bool = False):
     """Run the NW sweep for every group. ``state`` is the plane-layout
     graph state (see poa.lockstep). Returns (codes, best_i, err_nw)."""
     NG, N, _ = state["sortp"].shape
+    E = state["in_e"].shape[1]
+    assert E <= 7, "4-bit traceback codes require E <= 7"
+    assert N % 32 == 0 and D & (D - 1) == 0
     Lp = read_pl.shape[1]
     b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
     kern = functools.partial(
@@ -456,9 +459,10 @@ def _tb_kernel(
     klen_ref[0, pl.ds(0, 1), :] = jnp.where(act & ~failed, k, 0)
 
 
-def tb_lockstep(state, codes, best_i, rl, act, err_nw, *, E: int, K: int,
+def tb_lockstep(state, codes, best_i, rl, act, err_nw, *, K: int,
                 Lp: int, interpret: bool = False):
     NG, N, _ = state["sortp"].shape
+    E = state["in_e"].shape[1]
     b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
     kern = functools.partial(_tb_kernel, N=N, E=E, Lp=Lp, K=K,
                              INTERP=interpret)
@@ -501,15 +505,25 @@ def _add_kernel(
     ag_ref, ar_ref, klen_ref,       # alignment from the traceback
     read_ref, wt_ref,               # (1, Lp, W) read chars / weights
     act_ref,
-    # aliased input refs (same storage as the outputs below; unused names)
+    # aliased input refs. ALIASING CAVEAT: the alias only ties the HBM
+    # buffers; compiled blocked grids stage inputs and outputs in SEPARATE
+    # VMEM blocks, so the output refs start UNINITIALIZED (interpret mode
+    # shares one buffer and hides this). Copy every plane in first.
     _n_i, _ic_i, _ie_i, _iw_i, _oc_i, _oe_i, _al_i, _alc_i, _cv_i,
     _nc_i, _er_i,
-    # mutated state (aliased in/out — write through these)
+    # mutated state (write through these)
     nodes_ref, in_count_ref, in_e_ref, in_w_ref,
     out_count_ref, out_e_ref, al_ref, alc_ref, cov_ref,
     ncount_ref, err_ref,
     *, N: int, E: int, EO: int, A: int, Lp: int, K: int, UNIT_W: bool,
 ):
+    for dst, src in (
+        (nodes_ref, _n_i), (in_count_ref, _ic_i), (in_e_ref, _ie_i),
+        (in_w_ref, _iw_i), (out_count_ref, _oc_i), (out_e_ref, _oe_i),
+        (al_ref, _al_i), (alc_ref, _alc_i), (cov_ref, _cv_i),
+        (ncount_ref, _nc_i), (err_ref, _er_i),
+    ):
+        dst[...] = src[...]
     act0 = act_ref[0, pl.ds(0, 1), :] != 0
     klen = klen_ref[0, pl.ds(0, 1), :]
     max_len = jnp.max(jnp.where(act0, klen, 0))
@@ -594,18 +608,14 @@ def _add_kernel(
 
         alc_v = jax.lax.fori_loop(0, max_na, al_upd, alc_v)
 
-        @pl.when(jnp.any(ok_cap))
-        def _():
-            alc2 = alc_ref[0]  # only for staleness-free reload pattern
-            del alc2
-            for a2 in range(A):
-                sel = ok_cap & (na == a2)
-                al_ref[0, a2] = jnp.where(
-                    (iN == gid_c) & sel, cur_c, al_ref[0, a2]
-                )
-                al_ref[0, a2] = jnp.where(
-                    (iN == cur_c) & sel, gid_c, al_ref[0, a2]
-                )
+        for a2 in range(A):
+            sel = ok_cap & (na == a2)
+            al_ref[0, a2] = jnp.where(
+                (iN == gid_c) & sel, cur_c, al_ref[0, a2]
+            )
+            al_ref[0, a2] = jnp.where(
+                (iN == cur_c) & sel, gid_c, al_ref[0, a2]
+            )
 
         alc_v = _sc(alc_v, gid_c, na + 1, ok_cap, N)
         alc_v = _sc(alc_v, cur_c, na + 1, ok_cap, N)
@@ -682,12 +692,15 @@ def _add_kernel(
     )
 
 
-def add_lockstep(state, ag, ar, klen, read_pl, wt_pl, act, *, E: int,
-                 EO: int, A: int, unit_w: bool = True,
-                 interpret: bool = False):
+def add_lockstep(state, ag, ar, klen, read_pl, wt_pl, act, *,
+                 unit_w: bool = True, interpret: bool = False):
     """Add the traceback alignments to the graphs in place. Returns the
-    updated state dict (aliased buffers donated)."""
+    updated state dict (aliased buffers donated). Capacity caps are taken
+    from the state plane shapes."""
     NG, N, _ = state["nodes"].shape
+    E = state["in_e"].shape[1]
+    EO = state["out_e"].shape[1]
+    A = state["al"].shape[1]
     Lp = read_pl.shape[1]
     K = ag.shape[1]
     b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
@@ -737,6 +750,9 @@ def _topsort_kernel(
     local,                           # scratch (N, W)
     *, N: int, EO: int,
 ):
+    # see _add_kernel: aliased outputs start uninitialized when compiled
+    sortp_ref[...] = _sp_i[...]
+    pos_ref[...] = _po_i[...]
     act = (act_ref[0, pl.ds(0, 1), :] != 0) & (
         err_ref[0, pl.ds(0, 1), :] == 0
     )
@@ -797,8 +813,9 @@ def _topsort_kernel(
     )
 
 
-def topsort_lockstep(state, act, *, EO: int, interpret: bool = False):
+def topsort_lockstep(state, act, *, interpret: bool = False):
     NG, N, _ = state["nodes"].shape
+    EO = state["out_e"].shape[1]
     b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
     kern = functools.partial(_topsort_kernel, N=N, EO=EO)
     sortp, pos, err = pl.pallas_call(
@@ -1005,10 +1022,12 @@ def _consensus_kernel(
     erro_ref[0, pl.ds(0, 1), :] = errv
 
 
-def consensus_lockstep(state, act, *, E: int, EO: int, A: int,
-                       interpret: bool = False):
+def consensus_lockstep(state, act, *, interpret: bool = False):
     """Returns (cons (NG, N, W) BACKWARD order, cov, length, err)."""
     NG, N, _ = state["nodes"].shape
+    E = state["in_e"].shape[1]
+    EO = state["out_e"].shape[1]
+    A = state["al"].shape[1]
     b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
     kern = functools.partial(_consensus_kernel, N=N, E=E, EO=EO, A=A)
     return pl.pallas_call(
