@@ -1600,14 +1600,50 @@ def poa_batch_consensus(
     max_alignments: int = MAX_NODE_ALIGNMENTS,
     weights: list[list[np.ndarray]] | None = None,
     use_pallas: bool | None = None,
+    use_lockstep: bool | None = None,
 ) -> tuple[list[str], list[np.ndarray], list[int]]:
     """Run batched POA consensus over a list of windows (each a list of
     sequences). Returns (consensus list, coverage list, status list —
     0 = success). The lockstep-batch equivalent of Batch::generate_poa +
-    get_consensus (cudapoa_batch.cuh). On TPU the per-window Pallas kernel
-    is used; the XLA lockstep path serves CPU and as fallback."""
+    get_consensus (cudapoa_batch.cuh). On TPU the lockstep kernel chain
+    (one window per vector lane, ops/poa_lockstep_pallas.py) is the fast
+    tier; cap-overflow windows re-run through the per-window Pallas
+    kernel; the XLA lockstep path serves CPU and as the last fallback."""
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
+    if use_lockstep is None:
+        # the lane-lockstep tier only pays off compiled and at batch scale
+        use_lockstep = use_pallas and len(windows) >= 64
+    if use_lockstep:
+        from genomeworks_tpu.poa.lockstep import poa_batch_consensus_lockstep
+
+        try:
+            out = poa_batch_consensus_lockstep(
+                windows, gap, mismatch, match, weights
+            )
+        except Exception as e:
+            from genomeworks_tpu.core.logging import log_warn
+
+            log_warn(
+                "lockstep POA tier failed to compile/run; falling back to "
+                f"the per-window kernel: {e!r:.200}"
+            )
+            out = None
+        if out is not None:
+            out_cons, out_cov, out_status = out
+            redo = [b for b, st in enumerate(out_status) if st != 0]
+            if redo:
+                r_cons, r_cov, r_st = poa_batch_consensus(
+                    [windows[b] for b in redo], gap, mismatch, match,
+                    max_nodes, max_edges, max_alignments,
+                    [weights[b] for b in redo] if weights else None,
+                    use_pallas=use_pallas, use_lockstep=False,
+                )
+                for i, b in enumerate(redo):
+                    out_cons[b], out_cov[b], out_status[b] = (
+                        r_cons[i], r_cov[i], r_st[i]
+                    )
+            return out_cons, out_cov, out_status
     if use_pallas and _pallas_poa_plan(
         windows, max_nodes, max_edges, max_alignments, False,
         unit_w=weights is None,

@@ -101,3 +101,187 @@ def read_planes(seqs, lens, Lp: int):
     pl_ = jnp.transpose(sh.reshape(NG, W, S, Lp), (0, 2, 3, 1))
     ln = jnp.transpose(lens.reshape(NG, W, S), (0, 2, 1))
     return pl_, ln
+
+
+# =========================================================================
+# Production driver: the lockstep tier of poa_batch_consensus
+# =========================================================================
+
+E_LK, A_LK = 7, 8  # lockstep plane caps (4-bit NW codes require E <= 7)
+_VMEM_BUDGET = 13_800_000  # bytes/core headroom under the 16 MB VMEM
+
+
+def _nw_vmem(N: int, D: int, Lp: int) -> int:
+    """NW kernel VMEM estimate: double-buffered input blocks (5 N-planes +
+    E in-edge planes + read plane) + ring/ev/stage scratch."""
+    ints = 2 * (N * (5 + E_LK) + Lp + 4) + D * Lp + D + 4 * Lp
+    return 4 * W * ints
+
+
+def lockstep_plan(L: int):
+    """(N, D, Lp) for the lockstep tier at max window length L, or None.
+    N is the node cap (overflowing windows error out with code 1 and are
+    re-run at full caps by the caller); D the predecessor-distance ring
+    (code 5 on overflow, same protocol). Larger N costs O(N) VPU work on
+    every one-hot gather, so candidates stop at 768."""
+    Lp = 8 * ((L + 1 + 7) // 8)
+    for N, D in ((768, 32), (640, 32), (512, 64), (512, 32), (448, 32),
+                 (384, 64), (384, 32), (320, 32), (256, 64), (256, 32),
+                 (192, 32), (128, 32)):
+        if N < L + 2:
+            continue
+        if _nw_vmem(N, D, Lp) > _VMEM_BUDGET:
+            continue
+        return N, D, Lp
+    return None
+
+
+_CHAIN_CACHE: dict = {}
+
+
+def _get_chain(NG, S, L, Lp, N, D, K, gap, mismatch, match, unit_w, packed,
+               interpret):
+    key = (NG, S, L, Lp, N, D, K, gap, mismatch, match, unit_w, packed,
+           interpret)
+    fn = _CHAIN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from genomeworks_tpu.poa import jax_poa as jp
+
+    def chain(seqs_j, ln_j, wts_j):
+        B = seqs_j.shape[0]
+        lens_j, nseqs_j = ln_j[:, :-1], ln_j[:, -1]
+        if packed:
+            # 2-bit codes, 4/byte; decode to kernel codes 1..4 on device
+            # (0 = never-matching pad), 4x fewer H2D bytes
+            p = seqs_j.astype(jnp.int32)
+            c = jnp.stack(
+                [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=-1
+            ).reshape(B, S, L) + 1
+            iota_l = jnp.arange(L)[None, None, :]
+            seqs_j = jnp.where(iota_l < lens_j[:, :, None], c, 0)
+        else:
+            seqs_j = seqs_j.astype(jnp.int32)
+        wb = (jnp.ones((B, L), jnp.int32) if unit_w else wts_j[:, 0])
+        state = jp.init_graph_state(B, N, E_LK, A_LK)
+        state = jp.build_backbone_batched(
+            state, seqs_j[:, 0], lens_j[:, 0], wb, nseqs_j > 0
+        )
+        rpl, lnp = read_planes(seqs_j, lens_j, Lp)
+        ones = jnp.ones((NG, Lp, W), jnp.int32)
+        wpl = None if unit_w else read_planes(wts_j, lens_j, Lp)[0]
+        planes = to_planes(state, NG)
+        for s in range(1, S):
+            actp = (nseqs_j > s).astype(jnp.int32).reshape(NG, 1, W)
+            rl = lnp[:, s].reshape(NG, 1, W)
+            codes, best_i, err_nw = lk.nw_lockstep(
+                planes, rpl[:, s], rl, actp, D=D,
+                gap=gap, mismatch=mismatch, match=match, interpret=interpret)
+            ag, ar, klen, err_tb = lk.tb_lockstep(
+                planes, codes, best_i, rl, actp, err_nw, K=K, Lp=Lp,
+                interpret=interpret)
+            planes = dict(planes)
+            planes["error"] = jnp.maximum(planes["error"], err_tb)
+            planes = lk.add_lockstep(
+                planes, ag, ar, klen, rpl[:, s],
+                ones if unit_w else wpl[:, s], actp,
+                unit_w=unit_w, interpret=interpret)
+            planes = lk.topsort_lockstep(planes, actp, interpret=interpret)
+        actp = (nseqs_j > 0).astype(jnp.int32).reshape(NG, 1, W)
+        cons, cov, length, err = lk.consensus_lockstep(
+            planes, actp, interpret=interpret)
+        cons = jnp.transpose(cons, (0, 2, 1)).reshape(B, N)
+        cov = jnp.transpose(cov, (0, 2, 1)).reshape(B, N)
+        # one byte-packed D2H for the big planes (cov <= S <= 255), one
+        # small i32 pair — each separate device->host sync costs ~30 ms of
+        # tunnel latency
+        u8 = jnp.concatenate(
+            [cons.astype(jnp.uint8), jnp.clip(cov, 0, 255).astype(jnp.uint8)],
+            axis=1,
+        )
+        meta = jnp.stack([length.reshape(B), err.reshape(B)], axis=1)
+        return u8, meta
+
+    fn = _CHAIN_CACHE[key] = jax.jit(chain)
+    return fn
+
+
+def poa_batch_consensus_lockstep(windows, gap=-8, mismatch=-6, match=8,
+                                 weights=None, interpret=None):
+    """Consensus via the lockstep kernel chain (one window per vector
+    lane, 128/group). Returns (cons, cov, status) where a nonzero status
+    is the raw in-kernel error code — the caller re-runs those windows at
+    full caps (per-window kernel / XLA). Returns None when no plan fits.
+
+    Reference semantics: cudapoa generatePOAKernel full-band chain
+    (cudapoa_kernels.cuh:78) — bit-parity with poa_batch_consensus."""
+    from genomeworks_tpu.poa import jax_poa as jp
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B0 = len(windows)
+    S = max(2, max(len(w) for w in windows))
+    Lmax = max(max(len(s) for s in w) for w in windows)
+    L = ((Lmax + 3) // 4) * 4
+    pln = lockstep_plan(L)
+    if pln is None or S > 255:  # byte-packed coverage download needs S <= 255
+        return None
+    N, D, Lp = pln
+    K = ((N + L + 2 + 7) // 8) * 8
+    seqs, wts, lens, nseqs = jp._pack_windows(windows, weights, S, L)
+    B = pad_groups(B0) * W
+    if B != B0:
+        pad = B - B0
+        seqs = np.concatenate([seqs, np.zeros((pad, S, L), seqs.dtype)])
+        wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
+        lens = np.concatenate([lens, np.zeros((pad, S), np.int32)])
+        nseqs = np.concatenate([nseqs, np.zeros(pad, np.int32)])
+    NG = B // W
+
+    # ACGT-only batches upload 2-bit packed codes (see
+    # _poa_batch_consensus_pallas — same LUT membership test)
+    _ok = np.zeros(256, dtype=bool)
+    _ok[[0, 65, 67, 71, 84]] = True
+    acgt = bool(_ok[seqs].all())
+    if acgt:
+        lut = np.zeros(85, np.uint8)
+        lut[[65, 67, 71, 84]] = [0, 1, 2, 3]
+        codes = lut[seqs]
+        c4 = codes.reshape(B, S, L // 4, 4)
+        seqs_dev = jnp.asarray(
+            (c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4)
+             | (c4[..., 3] << 6)).astype(np.uint8)
+        )
+    else:
+        seqs_dev = jnp.asarray(seqs.astype(np.uint8))
+
+    fn = _get_chain(NG, S, L, Lp, N, D, K, gap, mismatch, match,
+                    weights is None, acgt, interpret)
+    # one bundled i32 upload for lens+nseqs (each H2D sync pays the fixed
+    # tunnel latency)
+    ln = np.concatenate([lens, nseqs[:, None]], axis=1)
+    u8, meta = fn(
+        seqs_dev, jnp.asarray(ln),
+        jnp.asarray(wts) if weights is not None else jnp.zeros((), jnp.int32),
+    )
+    u8 = np.asarray(u8)
+    cons, cov = u8[:, :N], u8[:, N:].astype(np.int32)
+    if acgt:
+        dec = np.frombuffer(b"\0ACGT\0\0\0", dtype=np.uint8)[:8]
+        cons = dec[cons & 7]
+    meta = np.asarray(meta)
+    length, err = meta[:, 0], meta[:, 1]
+    o_cons, o_cov, o_st = [], [], []
+    for b in range(B0):
+        if err[b] != 0:
+            o_cons.append("")
+            o_cov.append(np.zeros(0, np.int32))
+            o_st.append(int(err[b]))
+        else:
+            k = int(length[b])
+            o_cons.append(
+                bytes(cons[b, :k][::-1].astype(np.uint8)).decode("latin1")
+            )
+            o_cov.append(cov[b, :k][::-1].copy())
+            o_st.append(0)
+    return o_cons, o_cov, o_st
