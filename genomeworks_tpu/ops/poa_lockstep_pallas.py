@@ -132,24 +132,56 @@ def _excl_cumsum_sub(x, n):
 # =========================================================================
 
 
+def _copy_planes(pairs, INTERP, sem, g):
+    """Stage full graph planes: HBM (ANY) group slice -> VMEM scratch.
+    In interpret mode the planes arrive as (1, ...) blocked refs instead
+    (no DMA support there) and are copied directly. The single-copy
+    staging is the whole point of the ANY layout: blocked grids stage
+    every plane in double-buffered in+out VMEM blocks, which at N = 640
+    is ~36 MB for the add kernel (the r4 covid VMEM OOM)."""
+    if INTERP:
+        for dst, src in pairs:
+            dst[...] = src[0]
+    else:
+        for dst, src in pairs:
+            cp = pltpu.make_async_copy(src.at[g], dst, sem)
+            cp.start()
+            cp.wait()
+
+
+def _copy_planes_out(pairs, INTERP, sem, g):
+    """Write mutated VMEM scratch planes back to the (aliased) HBM refs."""
+    if INTERP:
+        for src, dst in pairs:
+            dst[0] = src[...]
+    else:
+        for src, dst in pairs:
+            cp = pltpu.make_async_copy(src, dst.at[g], sem)
+            cp.start()
+            cp.wait()
+
+
 def _nw_kernel(
     # inputs (per-group blocks)
-    sortp_ref,     # (1, N, W) i32 topological order -> node id
-    nodes_ref,     # (1, N, W) i32 node base codes
-    in_count_ref,  # (1, N, W)
-    pos_ref,       # (1, N, W) node id -> topological position
-    out_count_ref,  # (1, N, W)
-    in_e_ref,      # (1, E, N, W)
     nc_ref,        # (1, 1, W) node_count
     act_ref,       # (1, 1, W) i32 active mask
     read_ref,      # (1, Lp, W) read char at sublane j = read[j-1]
     rl_ref,        # (1, 1, W) read length
+    # graph planes (ANY/HBM; (1, ...) blocks when INTERP)
+    sortp_h,       # (NG, N, W) i32 topological order -> node id
+    nodes_h,       # (NG, N, W) i32 node base codes
+    in_count_h,    # (NG, N, W)
+    pos_h,         # (NG, N, W) node id -> topological position
+    out_count_h,   # (NG, N, W)
+    in_e_h,        # (NG, E, N, W)
     # outputs
     codes_ref,     # HBM (NG, N//8, Lp, W) i32 (or VMEM block when INTERP)
     besti_ref,     # (1, 1, W) traceback start row
     err_ref,       # (1, 1, W) error accumulator (0 ok / 5 / 6)
     # scratch
-    ring,          # VMEM (D, Lp, W) i32 packed rows (score << 5)
+    sortp_s, nodes_s, in_count_s, pos_s, out_count_s,  # VMEM (N, W)
+    in_e_s,        # VMEM (E, N, W)
+    ring,          # VMEM (D, Lp, W) i16 row scores (packed on the fly)
     ev,            # VMEM (D, W) i32 per-distance edge values (32 - e; 0 = none)
     stage,         # VMEM (4, Lp, W) i32 packed code words
     sem,
@@ -157,6 +189,11 @@ def _nw_kernel(
     gap: int, mismatch: int, match: int, INTERP: bool,
 ):
     g = pl.program_id(0)
+    _copy_planes(
+        ((sortp_s, sortp_h), (nodes_s, nodes_h), (in_count_s, in_count_h),
+         (pos_s, pos_h), (out_count_s, out_count_h), (in_e_s, in_e_h)),
+        INTERP, sem, g,
+    )
     act = act_ref[0, pl.ds(0, 1), :] != 0
     nc = nc_ref[0, pl.ds(0, 1), :]
     rl = rl_ref[0, pl.ds(0, 1), :]
@@ -178,11 +215,11 @@ def _nw_kernel(
         best_s, best_i, errv, wacc, _tag = carry
         row = gp + 1
         actr = act & (gp < ncm)
-        nidr = sortp_ref[0, pl.ds(gp, 1), :]  # FIFO order: uniform row read
+        nidr = sortp_s[pl.ds(gp, 1), :]  # FIFO order: uniform row read
         nid = jnp.clip(jnp.where(actr, nidr, 0), 0, N - 1)
-        gbase = _og(nodes_ref[0], nid, N)
-        pc = _og(in_count_ref[0], nid, N)
-        ocs = _og(out_count_ref[0], nid, N)
+        gbase = _og(nodes_s[...], nid, N)
+        pc = _og(in_count_s[...], nid, N)
+        ocs = _og(out_count_s[...], nid, N)
         # cap guard: pc > E cannot be represented in 4-bit codes
         errv = jnp.where(actr & (pc > E) & (errv == 0), 6, errv)
         pcc = jnp.minimum(pc, E)
@@ -193,8 +230,8 @@ def _nw_kernel(
 
         def pred_body(e, c):
             dmax, errv = c
-            pe = _og(in_e_ref[0, e], nid, N)
-            pi = _og(pos_ref[0], jnp.clip(pe, 0, N - 1), N) + 1
+            pe = _og(in_e_s[e], nid, N)
+            pi = _og(pos_s[...], jnp.clip(pe, 0, N - 1), N) + 1
             dist = row - pi
             vme = (e < pcc) & actr & (pc > 0)
             bad = vme & ((dist < 1) | (dist > D))
@@ -220,7 +257,8 @@ def _nw_kernel(
 
         def ring_body(t, m):
             slot = (row - 1 - t) & (D - 1)
-            rr = ring[slot]  # (Lp, W)
+            # i16 ring: raw row scores; repack (score << 5 | 31 - e) here
+            rr = ring[slot].astype(jnp.int32) << 5  # (Lp, W)
             evv = ev[pl.ds(t, 1), :]  # (1, W): 32 - e, or 0
             return jnp.maximum(
                 m, jnp.where(evv > 0, rr + (evv - 1), NEGP)
@@ -251,7 +289,9 @@ def _nw_kernel(
         fin = jnp.minimum(fin, jnp.where(horiz, HOR, NONE))
 
         # ---- ring store + code word accumulation ------------------------
-        ring[row & (D - 1)] = rowm << 5
+        # genuine scores are bounded by |gap| * (rows + cols) << 2^15; the
+        # clip only tames the NEG sentinel flowing through inactive lanes
+        ring[row & (D - 1)] = jnp.clip(rowm, -32000, 32000).astype(jnp.int16)
         t8 = gp & 7
         wacc = jnp.where(t8 == 0, fin, wacc | (fin << (4 * t8)))
 
@@ -302,20 +342,24 @@ def nw_lockstep(state, read_pl, rl, act, *, D: int,
     assert N % 32 == 0 and D & (D - 1) == 0
     Lp = read_pl.shape[1]
     b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
+    any_or = lambda *s: (
+        b1(*s) if interpret else pl.BlockSpec(memory_space=pl.ANY)
+    )
     kern = functools.partial(
         _nw_kernel, N=N, E=E, Lp=Lp, D=D,
         gap=gap, mismatch=mismatch, match=match, INTERP=interpret,
     )
     codes_spec = (
         b1(N // 8, Lp, W) if interpret
-        else pl.BlockSpec(memory_space=pltpu.ANY)
+        else pl.BlockSpec(memory_space=pl.ANY)
     )
     return pl.pallas_call(
         kern,
         grid=(NG,),
         in_specs=[
-            b1(N, W), b1(N, W), b1(N, W), b1(N, W), b1(N, W),
-            b1(E, N, W), b1(1, W), b1(1, W), b1(Lp, W), b1(1, W),
+            b1(1, W), b1(1, W), b1(Lp, W), b1(1, W),
+            any_or(N, W), any_or(N, W), any_or(N, W), any_or(N, W),
+            any_or(N, W), any_or(E, N, W),
         ],
         out_specs=(codes_spec, b1(1, W), b1(1, W)),
         out_shape=(
@@ -324,7 +368,13 @@ def nw_lockstep(state, read_pl, rl, act, *, D: int,
             jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((D, Lp, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((E, N, W), jnp.int32),
+            pltpu.VMEM((D, Lp, W), jnp.int16),
             pltpu.VMEM((D, W), jnp.int32),
             pltpu.VMEM((4, Lp, W), jnp.int32),
             pltpu.SemaphoreType.DMA,
@@ -332,9 +382,9 @@ def nw_lockstep(state, read_pl, rl, act, *, D: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
+        state["node_count"], act, read_pl, rl,
         state["sortp"], state["nodes"], state["in_count"], state["pos"],
-        state["out_count"], state["in_e"], state["node_count"], act,
-        read_pl, rl,
+        state["out_count"], state["in_e"],
     )
 
 
@@ -344,18 +394,25 @@ def nw_lockstep(state, read_pl, rl, act, *, D: int,
 
 
 def _tb_kernel(
-    sortp_ref, in_count_ref, pos_ref, in_e_ref,
     besti_ref, rl_ref, act_ref, err_ref,  # err from NW (5/6 already set)
+    sortp_h, in_count_h, pos_h, in_e_h,   # ANY graph planes
     codes_ref,     # HBM (NG, N//8, Lp, W) (or VMEM block when INTERP)
     ag_ref,        # (1, K, W) out: graph node per alignment slot (-1 = gap)
     ar_ref,        # (1, K, W) out: read pos per slot (-1 = gap)
     klen_ref,      # (1, 1, W)
     erro_ref,      # (1, 1, W)
+    sortp_s, in_count_s, pos_s,  # VMEM (N, W)
+    in_e_s,        # VMEM (E, N, W)
     buf,           # VMEM (4, Lp, W) code-word chunk
     sem,
     *, N: int, E: int, Lp: int, K: int, INTERP: bool,
 ):
     g = pl.program_id(0)
+    _copy_planes(
+        ((sortp_s, sortp_h), (in_count_s, in_count_h), (pos_s, pos_h),
+         (in_e_s, in_e_h)),
+        INTERP, sem, g,
+    )
     act = (act_ref[0, pl.ds(0, 1), :] != 0) & (
         err_ref[0, pl.ds(0, 1), :] == 0
     )
@@ -397,19 +454,19 @@ def _tb_kernel(
         is_d = code < E
         e = jnp.where(is_d, code, code - E)
         e = jnp.where(is_h, 0, e)
-        nid = jnp.clip(_og(sortp_ref[0], jnp.clip(i - 1, 0, N - 1), N),
+        nid = jnp.clip(_og(sortp_s[...], jnp.clip(i - 1, 0, N - 1), N),
                        0, N - 1)
-        pc = _og(in_count_ref[0], nid, N)
+        pc = _og(in_count_s[...], nid, N)
         max_e = jnp.max(jnp.where(instep & ~is_h, e, 0))
 
         def e_body(ee, pred):
-            pv = _og(in_e_ref[0, ee], nid, N)
+            pv = _og(in_e_s[ee], nid, N)
             return jnp.where(e == ee, pv, pred)
 
         pred = jax.lax.fori_loop(0, max_e + 1, e_body,
                                  jnp.zeros((1, W), jnp.int32))
         pi = jnp.where(
-            pc == 0, 0, _og(pos_ref[0], jnp.clip(pred, 0, N - 1), N) + 1
+            pc == 0, 0, _og(pos_s[...], jnp.clip(pred, 0, N - 1), N) + 1
         )
         prev_i = jnp.where(is_h, i, pi)
         prev_j = jnp.where(is_h | is_d, j - 1, j)
@@ -464,18 +521,22 @@ def tb_lockstep(state, codes, best_i, rl, act, err_nw, *, K: int,
     NG, N, _ = state["sortp"].shape
     E = state["in_e"].shape[1]
     b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
+    any_or = lambda *s: (
+        b1(*s) if interpret else pl.BlockSpec(memory_space=pl.ANY)
+    )
     kern = functools.partial(_tb_kernel, N=N, E=E, Lp=Lp, K=K,
                              INTERP=interpret)
     codes_spec = (
         b1(N // 8, Lp, W) if interpret
-        else pl.BlockSpec(memory_space=pltpu.ANY)
+        else pl.BlockSpec(memory_space=pl.ANY)
     )
     return pl.pallas_call(
         kern,
         grid=(NG,),
         in_specs=[
-            b1(N, W), b1(N, W), b1(N, W), b1(E, N, W),
-            b1(1, W), b1(1, W), b1(1, W), b1(1, W), codes_spec,
+            b1(1, W), b1(1, W), b1(1, W), b1(1, W),
+            any_or(N, W), any_or(N, W), any_or(N, W), any_or(E, N, W),
+            codes_spec,
         ],
         out_specs=(b1(K, W), b1(K, W), b1(1, W), b1(1, W)),
         out_shape=(
@@ -485,13 +546,18 @@ def tb_lockstep(state, codes, best_i, rl, act, err_nw, *, K: int,
             jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
         ),
         scratch_shapes=[
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((E, N, W), jnp.int32),
             pltpu.VMEM((4, Lp, W), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(
+        best_i, rl, act, err_nw,
         state["sortp"], state["in_count"], state["pos"], state["in_e"],
-        best_i, rl, act, err_nw, codes,
+        codes,
     )
 
 
@@ -502,32 +568,43 @@ def tb_lockstep(state, codes, best_i, rl, act, err_nw, *, K: int,
 
 
 def _add_kernel(
-    ag_ref, ar_ref, klen_ref,       # alignment from the traceback
-    read_ref, wt_ref,               # (1, Lp, W) read chars / weights
-    act_ref,
-    # aliased input refs. ALIASING CAVEAT: the alias only ties the HBM
-    # buffers; compiled blocked grids stage inputs and outputs in SEPARATE
-    # VMEM blocks, so the output refs start UNINITIALIZED (interpret mode
-    # shares one buffer and hides this). Copy every plane in first.
-    _n_i, _ic_i, _ie_i, _iw_i, _oc_i, _oe_i, _al_i, _alc_i, _cv_i,
+    klen_ref, act_ref,              # blocked (1, 1, W)
+    # blocked aliased small in/out pairs (copy-in below: compiled blocked
+    # grids stage aliased inputs and outputs in SEPARATE VMEM blocks, so
+    # the output refs start UNINITIALIZED; interpret mode shares a buffer
+    # and hides this)
     _nc_i, _er_i,
-    # mutated state (write through these)
-    nodes_ref, in_count_ref, in_e_ref, in_w_ref,
-    out_count_ref, out_e_ref, al_ref, alc_ref, cov_ref,
+    # ANY/HBM inputs (blocked (1, ...) when INTERP)
+    ag_h, ar_h,                     # (NG, K, W) alignment from traceback
+    read_h, wt_h,                   # (NG, Lp, W) chars / weights (wt is a
+    #                                 (NG, 1, W) dummy when UNIT_W)
+    _n_h, _ic_h, _ie_h, _iw_h, _oc_h, _oe_h, _al_h, _alc_h, _cv_h,
+    # outputs: ANY aliased state planes + blocked nc/err
+    n_o, ic_o, ie_o, iw_o, oc_o, oe_o, al_o, alc_o, cv_o,
     ncount_ref, err_ref,
+    # scratch: the single resident copy of the group's planes
+    ag_s, ar_s, read_s, wt_s,
+    n_s, ic_s, ie_s, iw_s, oc_s, oe_s, al_s, alc_s, cv_s,
+    sem,
     *, N: int, E: int, EO: int, A: int, Lp: int, K: int, UNIT_W: bool,
+    INTERP: bool,
 ):
-    for dst, src in (
-        (nodes_ref, _n_i), (in_count_ref, _ic_i), (in_e_ref, _ie_i),
-        (in_w_ref, _iw_i), (out_count_ref, _oc_i), (out_e_ref, _oe_i),
-        (al_ref, _al_i), (alc_ref, _alc_i), (cov_ref, _cv_i),
-        (ncount_ref, _nc_i), (err_ref, _er_i),
-    ):
-        dst[...] = src[...]
+    g = pl.program_id(0)
+    pairs = [
+        (ag_s, ag_h), (ar_s, ar_h), (read_s, read_h),
+        (n_s, _n_h), (ic_s, _ic_h), (ie_s, _ie_h), (iw_s, _iw_h),
+        (oc_s, _oc_h), (oe_s, _oe_h), (al_s, _al_h), (alc_s, _alc_h),
+        (cv_s, _cv_h),
+    ]
+    if not UNIT_W:
+        pairs.insert(3, (wt_s, wt_h))
+    _copy_planes(pairs, INTERP, sem, g)
+    ncount_ref[...] = _nc_i[...]
+    err_ref[...] = _er_i[...]
     act0 = act_ref[0, pl.ds(0, 1), :] != 0
     klen = klen_ref[0, pl.ds(0, 1), :]
     max_len = jnp.max(jnp.where(act0, klen, 0))
-    read_pl = read_ref[0]
+    read_pl = read_s[...]
     iN = _iota(N)
 
     def step(t, carry):
@@ -535,24 +612,24 @@ def _add_kernel(
         errv = err_ref[0, pl.ds(0, 1), :]
         pos = jnp.clip(klen - 1 - t, 0, K - 1)
         act_t = act0 & (t < klen) & (errv == 0)
-        read_pos = _og(ar_ref[0], pos, K)
-        gid = _og(ag_ref[0], pos, K)
+        read_pos = _og(ar_s[...], pos, K)
+        gid = _og(ag_s[...], pos, K)
         act = act_t & (read_pos != -1)
         rp1 = jnp.clip(read_pos, 0, Lp - 2) + 1
         base = _og(read_pl, rp1, Lp)
-        w = jnp.ones((1, W), jnp.int32) if UNIT_W else _og(wt_ref[0], rp1, Lp)
+        w = jnp.ones((1, W), jnp.int32) if UNIT_W else _og(wt_s[...], rp1, Lp)
 
         gid_c = jnp.clip(gid, 0, N - 1)
         has_gid = act & (gid != -1)
-        gbase = _og(nodes_ref[0], gid_c, N)
-        na = jnp.where(has_gid, _og(alc_ref[0], gid_c, N), 0)
+        gbase = _og(n_s[...], gid_c, N)
+        na = jnp.where(has_gid, _og(alc_s[...], gid_c, N), 0)
         max_na = jnp.max(jnp.where(has_gid & (gbase != base), na, 0))
 
         # aligned-node search (first matching base)
         def al_scan(a, c):
             found, first_al = c
-            aid = _og(al_ref[0, a], gid_c, N)
-            abase = _og(nodes_ref[0], jnp.clip(aid, 0, N - 1), N)
+            aid = _og(al_s[a], gid_c, N)
+            abase = _og(n_s[...], jnp.clip(aid, 0, N - 1), N)
             m = (a < na) & (abase == base)
             first_al = jnp.where(m & (found == 0), aid, first_al)
             return jnp.maximum(found, m.astype(jnp.int32)), first_al
@@ -578,31 +655,31 @@ def _add_kernel(
 
         # init new node
         mnew = (iN == cur_c) & new_node
-        nodes_ref[0] = jnp.where(mnew, base, nodes_ref[0])
-        out_count_ref[0] = jnp.where(mnew, 0, out_count_ref[0])
-        in_count_ref[0] = jnp.where(mnew, 0, in_count_ref[0])
-        cov_ref[0] = jnp.where(mnew, 0, cov_ref[0])
-        alc_v = jnp.where(mnew, 0, alc_ref[0])
+        n_s[...] = jnp.where(mnew, base, n_s[...])
+        oc_s[...] = jnp.where(mnew, 0, oc_s[...])
+        ic_s[...] = jnp.where(mnew, 0, ic_s[...])
+        cv_s[...] = jnp.where(mnew, 0, cv_s[...])
+        alc_v = jnp.where(mnew, 0, alc_s[...])
 
         # aligned-list updates for a new aligned node (plane cap A -> err 6)
         ok_cap = new_al & (na + 1 <= A - 1)
         errv = jnp.where(new_al & (na + 1 > A - 1) & (errv == 0), 6, errv)
 
         def al_upd(a, alc_v):
-            aid = _og(al_ref[0, a], gid_c, N)
+            aid = _og(al_s[a], gid_c, N)
             aid_c = jnp.clip(aid, 0, N - 1)
             m_a = ok_cap & (a < na)
             acnt = _og(alc_v, aid_c, N)
             macnt = jnp.minimum(acnt, A - 1)
             for a2 in range(A):
-                al_ref[0, a2] = jnp.where(
+                al_s[a2] = jnp.where(
                     (iN == aid_c) & m_a & (macnt == a2), cur_c,
-                    al_ref[0, a2],
+                    al_s[a2],
                 )
             alc_v = _sc(alc_v, aid_c, acnt + 1, m_a, N)
             # cur's own list entry a = aid
-            al_ref[0, a] = jnp.where(
-                (iN == cur_c) & m_a, aid_c, al_ref[0, a]
+            al_s[a] = jnp.where(
+                (iN == cur_c) & m_a, aid_c, al_s[a]
             )
             return alc_v
 
@@ -610,31 +687,31 @@ def _add_kernel(
 
         for a2 in range(A):
             sel = ok_cap & (na == a2)
-            al_ref[0, a2] = jnp.where(
-                (iN == gid_c) & sel, cur_c, al_ref[0, a2]
+            al_s[a2] = jnp.where(
+                (iN == gid_c) & sel, cur_c, al_s[a2]
             )
-            al_ref[0, a2] = jnp.where(
-                (iN == cur_c) & sel, gid_c, al_ref[0, a2]
+            al_s[a2] = jnp.where(
+                (iN == cur_c) & sel, gid_c, al_s[a2]
             )
 
         alc_v = _sc(alc_v, gid_c, na + 1, ok_cap, N)
         alc_v = _sc(alc_v, cur_c, na + 1, ok_cap, N)
-        alc_ref[0] = alc_v
+        alc_s[...] = alc_v
 
         # edge insertion / weight update
         has_head = act & (head != -1)
         head_c = jnp.clip(head, 0, N - 1)
-        ic = jnp.where(has_head, _og(in_count_ref[0], cur_c, N), 0)
+        ic = jnp.where(has_head, _og(ic_s[...], cur_c, N), 0)
         icc = jnp.minimum(ic, E)
         max_ic = jnp.max(icc)
         dw = prev_w + w
 
         def e_scan(e, exists):
-            ie = _og(in_e_ref[0, e], cur_c, N)
+            ie = _og(ie_s[e], cur_c, N)
             m = has_head & (e < icc) & (ie == head)
             # weight bump on every matching slot
-            in_w_ref[0, e] = jnp.where(
-                (iN == cur_c) & m, in_w_ref[0, e] + dw, in_w_ref[0, e]
+            iw_s[e] = jnp.where(
+                (iN == cur_c) & m, iw_s[e] + dw, iw_s[e]
             )
             return jnp.maximum(exists, m.astype(jnp.int32))
 
@@ -643,43 +720,43 @@ def _add_kernel(
         )
         app = has_head & (exists == 0)
         # plane-cap guard: appending needs ic < E and oc < EO slots
-        oc = jnp.where(app, _og(out_count_ref[0], head_c, N), 0)
+        oc = jnp.where(app, _og(oc_s[...], head_c, N), 0)
         cap_bad = app & ((ic >= E) | (oc >= EO))
         errv = jnp.where(cap_bad & (errv == 0), 6, errv)
         app = app & ~cap_bad
 
         def e_app(e2, _):
             me = app & (ic == e2)
-            in_e_ref[0, e2] = jnp.where(
-                (iN == cur_c) & me, head_c, in_e_ref[0, e2]
+            ie_s[e2] = jnp.where(
+                (iN == cur_c) & me, head_c, ie_s[e2]
             )
-            in_w_ref[0, e2] = jnp.where(
-                (iN == cur_c) & me, dw, in_w_ref[0, e2]
+            iw_s[e2] = jnp.where(
+                (iN == cur_c) & me, dw, iw_s[e2]
             )
             return 0
 
         jax.lax.fori_loop(0, jnp.minimum(max_ic + 1, E), e_app, 0)
-        in_count_ref[0] = jnp.where((iN == cur_c) & app,
-                                    in_count_ref[0] + 1, in_count_ref[0])
+        ic_s[...] = jnp.where((iN == cur_c) & app,
+                              ic_s[...] + 1, ic_s[...])
 
         max_oc = jnp.max(jnp.where(app, oc, 0))
 
         def o_app(e2, _):
             me = app & (oc == e2)
-            out_e_ref[0, e2] = jnp.where(
-                (iN == head_c) & me, cur_c, out_e_ref[0, e2]
+            oe_s[e2] = jnp.where(
+                (iN == head_c) & me, cur_c, oe_s[e2]
             )
             return 0
 
         jax.lax.fori_loop(0, jnp.minimum(max_oc + 1, EO), o_app, 0)
-        out_count_ref[0] = jnp.where(
-            (iN == head_c) & app, out_count_ref[0] + 1, out_count_ref[0]
+        oc_s[...] = jnp.where(
+            (iN == head_c) & app, oc_s[...] + 1, oc_s[...]
         )
         # reference edge-count error (>= 50) is unreachable under the
         # plane caps; cap hits are err 6 (retry tier) above.
 
-        cov_ref[0] = jnp.where((iN == cur_c) & act, cov_ref[0] + 1,
-                               cov_ref[0])
+        cv_s[...] = jnp.where((iN == cur_c) & act, cv_s[...] + 1,
+                              cv_s[...])
         err_ref[0, pl.ds(0, 1), :] = errv
         head = jnp.where(act, cur_c, head)
         prev_w = jnp.where(act, w, prev_w)
@@ -689,6 +766,12 @@ def _add_kernel(
         0, max_len, step,
         (jnp.full((1, W), -1, jnp.int32), jnp.zeros((1, W), jnp.int32),
          jnp.int32(_SRC_TAG)),
+    )
+    _copy_planes_out(
+        ((n_s, n_o), (ic_s, ic_o), (ie_s, ie_o), (iw_s, iw_o),
+         (oc_s, oc_o), (oe_s, oe_o), (al_s, al_o), (alc_s, alc_o),
+         (cv_s, cv_o)),
+        INTERP, sem, g,
     )
 
 
@@ -702,38 +785,68 @@ def add_lockstep(state, ag, ar, klen, read_pl, wt_pl, act, *,
     EO = state["out_e"].shape[1]
     A = state["al"].shape[1]
     Lp = read_pl.shape[1]
+    LpW = wt_pl.shape[1]  # Lp, or 1 (dummy) when unit_w
     K = ag.shape[1]
     b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
+    any_or = lambda *s: (
+        b1(*s) if interpret else pl.BlockSpec(memory_space=pl.ANY)
+    )
     kern = functools.partial(_add_kernel, N=N, E=E, EO=EO, A=A, Lp=Lp, K=K,
-                             UNIT_W=unit_w)
+                             UNIT_W=unit_w, INTERP=interpret)
     mut = ["nodes", "in_count", "in_e", "in_w", "out_count", "out_e",
-           "al", "al_count", "cov", "node_count", "error"]
+           "al", "al_count", "cov"]
     shapes = {k: state[k].shape for k in mut}
+    # inputs: klen, act, nc, err, ag, ar, read, wt, then the 9 planes
+    aliases = {8 + i: i for i in range(len(mut))}
+    aliases[2] = len(mut)      # node_count
+    aliases[3] = len(mut) + 1  # error
     outs = pl.pallas_call(
         kern,
         grid=(NG,),
         in_specs=[
-            b1(K, W), b1(K, W), b1(1, W), b1(Lp, W), b1(Lp, W), b1(1, W),
-            b1(N, W), b1(N, W), b1(E, N, W), b1(E, N, W),
-            b1(N, W), b1(EO, N, W), b1(A, N, W), b1(N, W), b1(N, W),
-            b1(1, W), b1(1, W),
+            b1(1, W), b1(1, W), b1(1, W), b1(1, W),
+            any_or(K, W), any_or(K, W), any_or(Lp, W), any_or(LpW, W),
+            any_or(N, W), any_or(N, W), any_or(E, N, W), any_or(E, N, W),
+            any_or(N, W), any_or(EO, N, W), any_or(A, N, W), any_or(N, W),
+            any_or(N, W),
         ],
-        out_specs=tuple(
-            b1(*shapes[k][1:]) for k in mut
-        ),
+        out_specs=tuple(any_or(*shapes[k][1:]) for k in mut)
+        + (b1(1, W), b1(1, W)),
         out_shape=tuple(
             jax.ShapeDtypeStruct(shapes[k], jnp.int32) for k in mut
+        )
+        + (
+            jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
+            jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
         ),
-        input_output_aliases={6 + i: i for i in range(len(mut))},
+        input_output_aliases=aliases,
+        scratch_shapes=[
+            pltpu.VMEM((K, W), jnp.int32),
+            pltpu.VMEM((K, W), jnp.int32),
+            pltpu.VMEM((Lp, W), jnp.int32),
+            pltpu.VMEM((LpW, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((E, N, W), jnp.int32),
+            pltpu.VMEM((E, N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((EO, N, W), jnp.int32),
+            pltpu.VMEM((A, N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        ag, ar, klen, read_pl, wt_pl, act,
+        klen, act, state["node_count"], state["error"],
+        ag, ar, read_pl, wt_pl,
         state["nodes"], state["in_count"], state["in_e"], state["in_w"],
         state["out_count"], state["out_e"], state["al"], state["al_count"],
-        state["cov"], state["node_count"], state["error"],
+        state["cov"],
     )
     new_state = dict(state)
-    for k, v in zip(mut, outs):
+    for k, v in zip(mut + ["node_count", "error"], outs):
         new_state[k] = v
     return new_state
 
@@ -744,15 +857,20 @@ def add_lockstep(state, ag, ar, klen, read_pl, wt_pl, act, *,
 
 
 def _topsort_kernel(
-    in_count_ref, out_count_ref, out_e_ref, ncount_ref, act_ref,
-    err_ref, _sp_i, _po_i,
-    sortp_ref, pos_ref, erro_ref,   # outputs (sortp/pos aliased)
-    local,                           # scratch (N, W)
-    *, N: int, EO: int,
+    ncount_ref, act_ref, err_ref,    # blocked (1, 1, W)
+    in_count_h, out_count_h, out_e_h, _sp_h, _po_h,   # ANY planes
+    sortp_o, pos_o, erro_ref,        # outputs (sortp/pos ANY, aliased)
+    oc_s, oe_s, sortp_s, pos_s,      # VMEM scratch planes
+    local,                           # scratch (N, W); staged from in_count
+    sem,
+    *, N: int, EO: int, INTERP: bool,
 ):
-    # see _add_kernel: aliased outputs start uninitialized when compiled
-    sortp_ref[...] = _sp_i[...]
-    pos_ref[...] = _po_i[...]
+    g = pl.program_id(0)
+    _copy_planes(
+        ((local, in_count_h), (oc_s, out_count_h), (oe_s, out_e_h),
+         (sortp_s, _sp_h), (pos_s, _po_h)),
+        INTERP, sem, g,
+    )
     act = (act_ref[0, pl.ds(0, 1), :] != 0) & (
         err_ref[0, pl.ds(0, 1), :] == 0
     )
@@ -760,7 +878,7 @@ def _topsort_kernel(
     iN = _iota(N)
     BIG = jnp.int32(1 << 20)
     in_graph = iN < nc
-    local[...] = jnp.where(in_graph & act, in_count_ref[0], BIG)
+    local[...] = jnp.where(in_graph & act, local[...], BIG)
     is_seed = (local[...] == 0).astype(jnp.int32)
     rank = _excl_cumsum_sub(is_seed, N)
     tail0 = jnp.sum(is_seed, axis=0, keepdims=True)
@@ -772,9 +890,9 @@ def _topsort_kernel(
             keepdims=True,
         )
         sel = act & (p < tail0)
-        old = sortp_ref[0, pl.ds(p, 1), :]
-        sortp_ref[0, pl.ds(p, 1), :] = jnp.where(sel, srt_p, old)
-        pos_ref[0] = _sc(pos_ref[0], jnp.clip(srt_p, 0, N - 1), p, sel, N)
+        old = sortp_s[pl.ds(p, 1), :]
+        sortp_s[pl.ds(p, 1), :] = jnp.where(sel, srt_p, old)
+        pos_s[...] = _sc(pos_s[...], jnp.clip(srt_p, 0, N - 1), p, sel, N)
         return 0
 
     jax.lax.fori_loop(0, max_t0, seed_body, 0)
@@ -783,23 +901,23 @@ def _topsort_kernel(
 
     def pop_body(i, c):
         tail, _tag = c
-        node = sortp_ref[0, pl.ds(i, 1), :]
+        node = sortp_s[pl.ds(i, 1), :]
         validv = act & (i < tail)
         nodec = jnp.clip(node, 0, N - 1)
-        oc = jnp.where(validv, _og(out_count_ref[0], nodec, N), 0)
+        oc = jnp.where(validv, _og(oc_s[...], nodec, N), 0)
         max_oc = jnp.max(oc)
 
         def e_body(e, tail):
-            outv = _og(out_e_ref[0, e], nodec, N)
+            outv = _og(oe_s[e], nodec, N)
             outc = jnp.clip(outv, 0, N - 1)
             m = validv & (e < oc)
             lv = _og(local[...], outc, N) - 1
             local[...] = _sc(local[...], outc, lv, m, N)
             newly = m & (lv == 0)
             tailc = jnp.clip(tail, 0, N - 1)
-            sortp_ref[0] = jnp.where((iN == tailc) & newly, outc,
-                                     sortp_ref[0])
-            pos_ref[0] = _sc(pos_ref[0], outc, tail, newly, N)
+            sortp_s[...] = jnp.where((iN == tailc) & newly, outc,
+                                     sortp_s[...])
+            pos_s[...] = _sc(pos_s[...], outc, tail, newly, N)
             return tail + newly.astype(jnp.int32)
 
         tail = jax.lax.fori_loop(0, max_oc, e_body, tail)
@@ -811,21 +929,29 @@ def _topsort_kernel(
     erro_ref[0, pl.ds(0, 1), :] = jnp.where(
         act & (tail != nc), 100, err_ref[0, pl.ds(0, 1), :]
     )
+    _copy_planes_out(
+        ((sortp_s, sortp_o), (pos_s, pos_o)),
+        INTERP, sem, g,
+    )
 
 
 def topsort_lockstep(state, act, *, interpret: bool = False):
     NG, N, _ = state["nodes"].shape
     EO = state["out_e"].shape[1]
     b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
-    kern = functools.partial(_topsort_kernel, N=N, EO=EO)
+    any_or = lambda *s: (
+        b1(*s) if interpret else pl.BlockSpec(memory_space=pl.ANY)
+    )
+    kern = functools.partial(_topsort_kernel, N=N, EO=EO, INTERP=interpret)
     sortp, pos, err = pl.pallas_call(
         kern,
         grid=(NG,),
         in_specs=[
-            b1(N, W), b1(N, W), b1(EO, N, W), b1(1, W), b1(1, W), b1(1, W),
-            b1(N, W), b1(N, W),
+            b1(1, W), b1(1, W), b1(1, W),
+            any_or(N, W), any_or(N, W), any_or(EO, N, W),
+            any_or(N, W), any_or(N, W),
         ],
-        out_specs=(b1(N, W), b1(N, W), b1(1, W)),
+        out_specs=(any_or(N, W), any_or(N, W), b1(1, W)),
         out_shape=(
             jax.ShapeDtypeStruct((NG, N, W), jnp.int32),
             jax.ShapeDtypeStruct((NG, N, W), jnp.int32),
@@ -833,10 +959,18 @@ def topsort_lockstep(state, act, *, interpret: bool = False):
         ),
         input_output_aliases={6: 0, 7: 1},
         interpret=interpret,
-        scratch_shapes=[pltpu.VMEM((N, W), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((EO, N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        state["in_count"], state["out_count"], state["out_e"],
         state["node_count"], act, state["error"],
+        state["in_count"], state["out_count"], state["out_e"],
         state["sortp"], state["pos"],
     )
     new_state = dict(state)
@@ -852,13 +986,25 @@ def topsort_lockstep(state, act, *, interpret: bool = False):
 
 
 def _consensus_kernel(
-    nodes_ref, in_count_ref, in_e_ref, in_w_ref, out_count_ref,
-    out_e_ref, al_ref, alc_ref, cov_ref, sortp_ref, pos_ref,
-    ncount_ref, err_ref, act_ref,
-    cons_ref, covo_ref, len_ref, erro_ref,
+    ncount_ref, err_ref, act_ref,    # blocked (1, 1, W)
+    nodes_h, in_count_h, in_e_h, in_w_h, out_count_h,
+    out_e_h, al_h, alc_h, cov_h, sortp_h, pos_h,   # ANY planes
+    cons_ref_o, covo_ref_o, len_ref, erro_ref,     # outs (cons/cov ANY)
+    n_s, ic_s, ie_s, iw_s, oc_s, oe_s, al_s, alc_s, cv_s,
+    sortp_s, pos_s,                 # VMEM scratch plane copies
+    cons_s, covo_s,                 # VMEM scratch outputs (N, W)
     scores, preds,                  # scratch (N, W)
-    *, N: int, E: int, EO: int, A: int,
+    sem,
+    *, N: int, E: int, EO: int, A: int, INTERP: bool,
 ):
+    g = pl.program_id(0)
+    _copy_planes(
+        ((n_s, nodes_h), (ic_s, in_count_h), (ie_s, in_e_h),
+         (iw_s, in_w_h), (oc_s, out_count_h), (oe_s, out_e_h),
+         (al_s, al_h), (alc_s, alc_h), (cv_s, cov_h),
+         (sortp_s, sortp_h), (pos_s, pos_h)),
+        INTERP, sem, g,
+    )
     act0 = (act_ref[0, pl.ds(0, 1), :] != 0) & (
         err_ref[0, pl.ds(0, 1), :] == 0
     )
@@ -871,7 +1017,7 @@ def _consensus_kernel(
 
     def row_update(nid, row_act, skip_cleared):
         """Heaviest-in-edge selection with the reference tie-breaks."""
-        pc = jnp.where(row_act, _og(in_count_ref[0], nid, N), 0)
+        pc = jnp.where(row_act, _og(ic_s[...], nid, N), 0)
         if skip_cleared:
             s0 = jnp.full((1, W), -1, jnp.int32)
         else:
@@ -881,9 +1027,9 @@ def _consensus_kernel(
 
         def e_body(e, c):
             s, p = c
-            begin = _og(in_e_ref[0, e], nid, N)
+            begin = _og(ie_s[e], nid, N)
             beginc = jnp.clip(begin, 0, N - 1)
-            ew = _og(in_w_ref[0, e], nid, N)
+            ew = _og(iw_s[e], nid, N)
             sc_begin = _og(scores[...], beginc, N)
             use = row_act & (e < pc)
             if skip_cleared:
@@ -903,7 +1049,7 @@ def _consensus_kernel(
 
     def fwd_body(gp, c):
         mxs, mxi, _t = c
-        nid = jnp.clip(sortp_ref[0, pl.ds(gp, 1), :], 0, N - 1)
+        nid = jnp.clip(sortp_s[pl.ds(gp, 1), :], 0, N - 1)
         row_act = act0 & (gp < nc)
         s, p = row_update(nid, row_act, False)
         scores[...] = _sc(scores[...], nid, s, row_act, N)
@@ -922,24 +1068,24 @@ def _consensus_kernel(
     # branch completion (branchCompletion, generate_consensus.cuh)
     def bc_cond(c):
         max_id, loops = c
-        oc = _og(out_count_ref[0], max_id, N)
+        oc = _og(oc_s[...], max_id, N)
         return jnp.any(act0 & (oc != 0) & (loops < nc))
 
     def bc_body(c):
         max_id, loops = c
-        oc = _og(out_count_ref[0], max_id, N)
+        oc = _og(oc_s[...], max_id, N)
         br = act0 & (oc != 0) & (loops < nc)
-        posv = _og(pos_ref[0], max_id, N)
+        posv = _og(pos_s[...], max_id, N)
         max_oc = jnp.max(jnp.where(br, oc, 0))
 
         def clear_body(oe, _):
-            outv = jnp.clip(_og(out_e_ref[0, oe], max_id, N), 0, N - 1)
+            outv = jnp.clip(_og(oe_s[oe], max_id, N), 0, N - 1)
             m_oe = br & (oe < oc)
-            out_ic = jnp.where(m_oe, _og(in_count_ref[0], outv, N), 0)
+            out_ic = jnp.where(m_oe, _og(ic_s[...], outv, N), 0)
             max_ic = jnp.max(out_ic)
 
             def i_body(e2, _):
-                ins = _og(in_e_ref[0, e2], outv, N)
+                ins = _og(ie_s[e2], outv, N)
                 m = m_oe & (e2 < out_ic) & (ins != max_id)
                 scores[...] = _sc(
                     scores[...], jnp.clip(ins, 0, N - 1), -1, m, N
@@ -953,7 +1099,7 @@ def _consensus_kernel(
 
         def rescan_body(gp, c2):
             mxs, mxi = c2
-            nid = jnp.clip(sortp_ref[0, pl.ds(gp, 1), :], 0, N - 1)
+            nid = jnp.clip(sortp_s[pl.ds(gp, 1), :], 0, N - 1)
             row_act = br & (gp > posv) & (gp < nc)
             s, p = row_update(nid, row_act, True)
             preds[...] = _sc(preds[...], nid, p, row_act, N)
@@ -980,8 +1126,8 @@ def _consensus_kernel(
     )
 
     # backward emission
-    cons_ref[0] = jnp.zeros((N, W), jnp.int32)
-    covo_ref[0] = jnp.zeros((N, W), jnp.int32)
+    cons_s[...] = jnp.zeros((N, W), jnp.int32)
+    covo_s[...] = jnp.zeros((N, W), jnp.int32)
     done0 = (~act0 | (errv != 0)).astype(jnp.int32)
 
     def em_cond(c):
@@ -992,21 +1138,21 @@ def _consensus_kernel(
         cur, k, done, steps = c
         a = done == 0
         cur_c = jnp.clip(cur, 0, N - 1)
-        ch = _og(nodes_ref[0], cur_c, N)
-        cv = _og(cov_ref[0], cur_c, N)
-        nal = _og(alc_ref[0], cur_c, N)
+        ch = _og(n_s[...], cur_c, N)
+        cv = _og(cv_s[...], cur_c, N)
+        nal = _og(alc_s[...], cur_c, N)
         max_nal = jnp.max(jnp.where(a, nal, 0))
 
         def a_body(t, cv):
-            aid = _og(al_ref[0, t], cur_c, N)
-            alcov = _og(cov_ref[0], jnp.clip(aid, 0, N - 1), N)
+            aid = _og(al_s[t], cur_c, N)
+            alcov = _og(cv_s[...], jnp.clip(aid, 0, N - 1), N)
             return cv + jnp.where(t < nal, alcov, 0)
 
         cv = jax.lax.fori_loop(0, max_nal, a_body, cv)
         kc = jnp.clip(k, 0, N - 1)
         mk = (iN == kc) & a
-        cons_ref[0] = jnp.where(mk, ch, cons_ref[0])
-        covo_ref[0] = jnp.where(mk, cv, covo_ref[0])
+        cons_s[...] = jnp.where(mk, ch, cons_s[...])
+        covo_s[...] = jnp.where(mk, cv, covo_s[...])
         p = _og(preds[...], cur_c, N)
         newly = a & (p == -1)
         cur = jnp.where(a & ~newly, p, cur)
@@ -1020,6 +1166,10 @@ def _consensus_kernel(
     )
     len_ref[0, pl.ds(0, 1), :] = jnp.where(act0 & (errv == 0), length, 0)
     erro_ref[0, pl.ds(0, 1), :] = errv
+    _copy_planes_out(
+        ((cons_s, cons_ref_o), (covo_s, covo_ref_o)),
+        INTERP, sem, g,
+    )
 
 
 def consensus_lockstep(state, act, *, interpret: bool = False):
@@ -1029,30 +1179,41 @@ def consensus_lockstep(state, act, *, interpret: bool = False):
     EO = state["out_e"].shape[1]
     A = state["al"].shape[1]
     b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
-    kern = functools.partial(_consensus_kernel, N=N, E=E, EO=EO, A=A)
+    any_or = lambda *s: (
+        b1(*s) if interpret else pl.BlockSpec(memory_space=pl.ANY)
+    )
+    kern = functools.partial(_consensus_kernel, N=N, E=E, EO=EO, A=A,
+                             INTERP=interpret)
     return pl.pallas_call(
         kern,
         grid=(NG,),
         in_specs=[
-            b1(N, W), b1(N, W), b1(E, N, W), b1(E, N, W), b1(N, W),
-            b1(EO, N, W), b1(A, N, W), b1(N, W), b1(N, W), b1(N, W),
-            b1(N, W), b1(1, W), b1(1, W), b1(1, W),
+            b1(1, W), b1(1, W), b1(1, W),
+            any_or(N, W), any_or(N, W), any_or(E, N, W), any_or(E, N, W),
+            any_or(N, W), any_or(EO, N, W), any_or(A, N, W), any_or(N, W),
+            any_or(N, W), any_or(N, W), any_or(N, W),
         ],
-        out_specs=(b1(N, W), b1(N, W), b1(1, W), b1(1, W)),
+        out_specs=(any_or(N, W), any_or(N, W), b1(1, W), b1(1, W)),
         out_shape=(
             jax.ShapeDtypeStruct((NG, N, W), jnp.int32),
             jax.ShapeDtypeStruct((NG, N, W), jnp.int32),
             jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
             jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((N, W), jnp.int32),
-            pltpu.VMEM((N, W), jnp.int32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((N, W), jnp.int32) for _ in range(2)]
+            + [pltpu.VMEM((E, N, W), jnp.int32) for _ in range(2)]
+            + [pltpu.VMEM((N, W), jnp.int32)]
+            + [pltpu.VMEM((EO, N, W), jnp.int32),
+               pltpu.VMEM((A, N, W), jnp.int32)]
+            + [pltpu.VMEM((N, W), jnp.int32) for _ in range(8)]
+            + [pltpu.SemaphoreType.DMA]
+        ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
+        state["node_count"], state["error"], act,
         state["nodes"], state["in_count"], state["in_e"], state["in_w"],
         state["out_count"], state["out_e"], state["al"], state["al_count"],
-        state["cov"], state["sortp"], state["pos"], state["node_count"],
-        state["error"], act,
+        state["cov"], state["sortp"], state["pos"],
     )

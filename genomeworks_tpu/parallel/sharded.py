@@ -22,7 +22,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from genomeworks_tpu.parallel.mesh import DATA_AXIS, make_mesh
@@ -78,7 +78,7 @@ def poa_batch_consensus_sharded(
             P(DATA_AXIS, None), spec,
         ),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), spec, spec),
-        check_rep=False,
+        check_vma=False,
     )
     cons, cov, length, err = sharded(
         jnp.asarray(seqs), jnp.asarray(wts), jnp.asarray(lens), jnp.asarray(nseqs)
@@ -125,7 +125,7 @@ def anchor_count_allreduce(mesh: Mesh, per_shard_counts):
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def _reduce(x):
         return jax.lax.psum(jnp.sum(x, keepdims=True), DATA_AXIS)
@@ -142,7 +142,7 @@ def matcher_sharded_counts(mesh: Mesh, q_reps, t_reps):
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P(DATA_AXIS), P()), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def _count(q, t):
         lo = jnp.searchsorted(t, q, side="left")

@@ -1612,14 +1612,24 @@ def poa_batch_consensus(
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     if use_lockstep is None:
-        # the lane-lockstep tier only pays off compiled and at batch scale
-        use_lockstep = use_pallas and len(windows) >= 64
+        # the lane-lockstep tier only pays off compiled on a real TPU and
+        # at batch scale; with caller caps stricter than the lockstep plane
+        # caps its cap semantics would diverge (ADVICE r4), so defer
+        use_lockstep = (
+            use_pallas
+            and len(windows) >= 64
+            and jax.default_backend() == "tpu"
+            and max_edges >= 7
+            and max_alignments >= 8
+        )
     if use_lockstep:
+        from genomeworks_tpu.poa import lockstep as _lk
         from genomeworks_tpu.poa.lockstep import poa_batch_consensus_lockstep
 
         try:
             out = poa_batch_consensus_lockstep(
-                windows, gap, mismatch, match, weights
+                windows, gap, mismatch, match, weights,
+                max_nodes=max_nodes,
             )
         except Exception as e:
             from genomeworks_tpu.core.logging import log_warn
@@ -1632,6 +1642,8 @@ def poa_batch_consensus(
         if out is not None:
             out_cons, out_cov, out_status = out
             redo = [b for b, st in enumerate(out_status) if st != 0]
+            _lk.tier_stats["lockstep_windows"] += len(windows) - len(redo)
+            _lk.tier_stats["lockstep_overflow_windows"] += len(redo)
             if redo:
                 r_cons, r_cov, r_st = poa_batch_consensus(
                     [windows[b] for b in redo], gap, mismatch, match,
@@ -1644,6 +1656,8 @@ def poa_batch_consensus(
                         r_cons[i], r_cov[i], r_st[i]
                     )
             return out_cons, out_cov, out_status
+        else:
+            _lk.tier_stats["lockstep_unserved_windows"] += len(windows)
     if use_pallas and _pallas_poa_plan(
         windows, max_nodes, max_edges, max_alignments, False,
         unit_w=weights is None,
