@@ -57,8 +57,33 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int,
     ]
+    if hasattr(lib, "gw_codes_pack_2bit"):
+        lib.gw_codes_pack_2bit.restype = ctypes.c_int
+        lib.gw_codes_pack_2bit.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
     _lib = lib
     return _lib
+
+
+def codes_pack_2bit(seqs: np.ndarray) -> tuple[np.ndarray, bool] | None:
+    """2-bit-pack a zero-padded uint8 base matrix whose last axis is a
+    multiple of 4 (one native pass; reference encoding minimizer.cu:197:
+    A=0 C=1 T=2 G=3). Returns (packed last-axis/4 uint8 array, all_acgt)
+    or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gw_codes_pack_2bit"):
+        return None
+    assert seqs.dtype == np.uint8 and seqs.flags.c_contiguous
+    assert seqs.shape[-1] % 4 == 0
+    out = np.empty(seqs.shape[:-1] + (seqs.shape[-1] // 4,), dtype=np.uint8)
+    ok = lib.gw_codes_pack_2bit(
+        seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out, bool(ok)
 
 
 def native_available() -> bool:

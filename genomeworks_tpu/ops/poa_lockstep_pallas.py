@@ -554,6 +554,7 @@ def tb_lockstep(state, codes, best_i, rl, act, err_nw, *, K: int,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         best_i, rl, act, err_nw,
         state["sortp"], state["in_count"], state["pos"], state["in_e"],

@@ -1401,12 +1401,44 @@ def _pack_windows(windows, weights, S, L):
             parts.append(zpad((S - len(w)) * L))
     buf = b"".join(parts)
     seqs = np.frombuffer(buf, dtype=np.uint8).reshape(B, S, L).copy()
+    if weights is None:
+        # callers broadcast unit weights on device; materializing the
+        # (B, S, L) i32 ones cost ~120 MB/alloc on the covid workload
+        return seqs, None, lens, nseqs
     wts = np.ones((B, S, L), dtype=np.int32)
-    if weights is not None:
-        for b, w in enumerate(windows):
-            for s in range(len(w)):
-                wts[b, s, : lens[b, s]] = weights[b][s]
+    for b, w in enumerate(windows):
+        for s in range(len(w)):
+            wts[b, s, : lens[b, s]] = weights[b][s]
     return seqs, wts, lens, nseqs
+
+
+def _encode_seqs_2bit(seqs: np.ndarray):
+    """(packed-or-raw uint8 device upload, acgt flag, consensus decode
+    LUT). Pure-{0,A,C,G,T} batches pack 2-bit (4x fewer H2D bytes over
+    the ~50 MB/s tunnel); one native C pass when available (the numpy
+    LUT+shift pipeline cost ~180 ms/call on the covid workload).
+    Encoding = the reference ASCII trick (minimizer.cu:197): A0 C1 G2 T3,
+    kernel codes 1..4 after the on-device +1; code 0 = never-match pad."""
+    from genomeworks_tpu.io.native import codes_pack_2bit
+
+    native = codes_pack_2bit(seqs) if seqs.shape[-1] % 4 == 0 else None
+    if native is not None:
+        packed, acgt = native
+        if acgt:
+            return packed, True, np.frombuffer(b"\0ACGT\0\0\0", np.uint8)
+        return seqs, False, None
+    _ok = np.zeros(256, dtype=bool)
+    _ok[[0, 65, 67, 71, 84]] = True
+    if not _ok[seqs].all():
+        return seqs, False, None
+    lut = np.zeros(85, np.uint8)
+    lut[[65, 67, 71, 84]] = [0, 1, 2, 3]  # ASCII-trick order (A0 C1 G2 T3)
+    codes = lut[seqs]
+    c4 = codes.reshape(codes.shape[:-1] + (seqs.shape[-1] // 4, 4))
+    packed = (
+        c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4) | (c4[..., 3] << 6)
+    ).astype(np.uint8)
+    return packed, True, np.frombuffer(b"\0ACGT\0\0\0", np.uint8)
 
 
 
@@ -1486,37 +1518,22 @@ def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
         if pad:
             # grid padding: nseqs == 0 windows are skipped in-kernel
             seqs = np.concatenate([seqs, np.zeros((pad, S, L), seqs.dtype)])
-            wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
+            if wts is not None:
+                wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
             lens = np.concatenate([lens, np.zeros((pad, S), np.int32)])
             nseqs = np.concatenate([nseqs, np.zeros(pad, np.int32)])
         # uint8 sequences + broadcastable unit weights: the upload rides
         # a ~50 MB/s tunnel, the kernel widens on device. Pure-ACGT
         # batches (the norm) upload 2-bit packed codes — 4x fewer H2D
-        # bytes again — and decode the consensus through a LUT ("\0ACGT",
-        # kernel codes 1..4; code 0 is the never-matching pad, see
+        # bytes again — and decode the consensus through a LUT (kernel
+        # codes 1..4; code 0 is the never-matching pad, see
         # poa_consensus_pallas).
         wts_dev = (
             jnp.ones((1, 1, 1), jnp.int32) if sub_weights is None
             else jnp.asarray(wts)
         )
-        # LUT membership test — np.isin's sort-based path took 59 s on
-        # the covid workload's 30M bases
-        _ok = np.zeros(256, dtype=bool)
-        _ok[[0, 65, 67, 71, 84]] = True
-        acgt = bool(_ok[seqs].all())
-        if acgt:
-            lut = np.zeros(85, np.uint8)
-            lut[[65, 67, 71, 84]] = [0, 1, 2, 3]
-            codes = lut[seqs]  # 2-bit codes; pads map to 0 ('A') but are
-            # re-zeroed on device from lens after the +1 shift
-            c4 = codes.reshape(codes.shape[0], codes.shape[1], L // 4, 4)
-            packed = (
-                c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4)
-                | (c4[..., 3] << 6)
-            ).astype(np.uint8)
-            seqs_dev = jnp.asarray(packed)
-        else:
-            seqs_dev = jnp.asarray(seqs.astype(np.uint8))
+        enc, acgt, dec = _encode_seqs_2bit(seqs)
+        seqs_dev = jnp.asarray(enc)
         cons, cov, length, err = poa_consensus_pallas(
             seqs_dev, wts_dev, jnp.asarray(lens),
             jnp.asarray(nseqs),
@@ -1526,7 +1543,6 @@ def _poa_batch_consensus_pallas(windows, gap, mismatch, match, max_nodes,
         )
         cons = np.asarray(cons)
         if acgt:
-            dec = np.frombuffer(b"\0ACGT\0\0\0", dtype=np.uint8)[:8]
             cons = dec[cons & 7]
         cov = np.asarray(cov).astype(np.int32)
         length = np.asarray(length)
@@ -1811,7 +1827,8 @@ def poa_batch_consensus_banded(
     pad = (-B) % G
     if pad:
         seqs = np.concatenate([seqs, np.zeros((pad, S, L), seqs.dtype)])
-        wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
+        if wts is not None:
+            wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
         lens = np.concatenate([lens, np.zeros((pad, S), np.int32)])
         nseqs = np.concatenate([nseqs, np.zeros(pad, np.int32)])
     wts_dev = (

@@ -285,27 +285,16 @@ def poa_batch_consensus_lockstep(windows, gap=-8, mismatch=-6, match=8,
     if B != B0:
         pad = B - B0
         seqs = np.concatenate([seqs, np.zeros((pad, S, L), seqs.dtype)])
-        wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
+        if wts is not None:
+            wts = np.concatenate([wts, np.ones((pad, S, L), np.int32)])
         lens = np.concatenate([lens, np.zeros((pad, S), np.int32)])
         nseqs = np.concatenate([nseqs, np.zeros(pad, np.int32)])
     NG = B // W
 
-    # ACGT-only batches upload 2-bit packed codes (see
-    # _poa_batch_consensus_pallas — same LUT membership test)
-    _ok = np.zeros(256, dtype=bool)
-    _ok[[0, 65, 67, 71, 84]] = True
-    acgt = bool(_ok[seqs].all())
-    if acgt:
-        lut = np.zeros(85, np.uint8)
-        lut[[65, 67, 71, 84]] = [0, 1, 2, 3]
-        codes = lut[seqs]
-        c4 = codes.reshape(B, S, L // 4, 4)
-        seqs_dev = jnp.asarray(
-            (c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4)
-             | (c4[..., 3] << 6)).astype(np.uint8)
-        )
-    else:
-        seqs_dev = jnp.asarray(seqs.astype(np.uint8))
+    # ACGT-only batches upload 2-bit packed codes (native single pass,
+    # see jax_poa._encode_seqs_2bit)
+    enc, acgt, dec = jp._encode_seqs_2bit(seqs)
+    seqs_dev = jnp.asarray(enc)
 
     fn = _get_chain(NG, S, L, Lp, N, D, K, gap, mismatch, match,
                     weights is None, acgt, interpret)
@@ -326,7 +315,6 @@ def poa_batch_consensus_lockstep(windows, gap=-8, mismatch=-6, match=8,
         raise
     cons, cov = u8[:, :N], u8[:, N:].astype(np.int32)
     if acgt:
-        dec = np.frombuffer(b"\0ACGT\0\0\0", dtype=np.uint8)[:8]
         cons = dec[cons & 7]
     meta = np.asarray(meta)
     length, err = meta[:, 0], meta[:, 1]
