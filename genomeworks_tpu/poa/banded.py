@@ -257,6 +257,261 @@ def nw_align_banded(
     return np.array(ag, dtype=np.int32), np.array(ar, dtype=np.int32)
 
 
+TRACEBACK_BUFFER_FAILED = -3  # CUDAPOA_KERNEL_NW_TRACEBACK_BUFFER_FAILED
+
+
+def nw_align_banded_tb(
+    graph: PoaGraph,
+    read: np.ndarray,
+    gap: int,
+    mismatch: int,
+    match: int,
+    band_width: int,
+    adaptive: bool,
+    score_matrix_height: int,
+    rerun: int = 0,
+    max_buffer_size: float | None = None,
+):
+    """Banded NW with a TRACEBACK BUFFER — exact port of
+    cudapoa/src/cudapoa_nw_tb_banded.cuh (needlemanWunschBandedTraceback).
+
+    Distinct semantics vs the score-re-derivation banded mode:
+    - scores live in a rolling buffer of ``score_matrix_height`` rows
+      (row % H); predecessors farther than H-1 rows are SKIPPED in the DP
+      (:382,401,425,463);
+    - the move is recorded during the forward pass in a full-height
+      traceback matrix: trace > 0 = diagonal distance, < 0 = vertical
+      distance, 0 = horizontal (:190-258 get_scores_tb, :523-530);
+      within one predecessor diagonal wins ties over vertical; across
+      predecessors and for the horizontal closure only a STRICTLY greater
+      score replaces the stored move;
+    - the traceback start only considers sinks with
+      (graph_count - idx) < H (:548-560); none in range returns
+      TRACEBACK_BUFFER_FAILED -> StatusType.exceeded_maximum_predecessor_
+      distance (cudapoa_kernels.cuh:464-469);
+    - the adaptive variant applies only rerun rules 5-6 + the storage
+      check (:306-332 — the gradient-based widening rules 1-2 of the
+      non-tb kernel are absent) and checks band-proximity rules 7-8 on
+      the DIAGONAL branch of the walk (:600-619).
+
+    Returns (alignment_graph, alignment_read) BACKWARD, or a sentinel int
+    (SHIFT_LEFT/SHIFT_RIGHT/BACKTRACKING_LOOP_FAILED/
+    ADAPTIVE_STORAGE_FAILED/TRACEBACK_BUFFER_FAILED)."""
+    g = graph
+    nc = g.node_count
+    rl = len(read)
+    H = score_matrix_height
+    order = g.sorted_poa[:nc]
+    pos_of = g.node_id_to_pos
+
+    gradient = np.float32(rl + 1) / np.float32(nc + 1)
+    max_column = rl + 1
+    band_shift = band_width // 2  # rule 4
+
+    if adaptive:
+        if rerun == SHIFT_LEFT and band_width <= MAX_ADAPTIVE_BAND_WIDTH // 2:
+            band_width *= 2               # rule 5
+            band_shift = int(band_shift * 2.5)
+        if rerun == SHIFT_RIGHT and band_width <= MAX_ADAPTIVE_BAND_WIDTH // 2:
+            band_width *= 2               # rule 6
+            band_shift = int(band_shift * 1.5)
+        if max_buffer_size is not None:
+            required = float(nc) * float(band_width + BANDED_MATRIX_RIGHT_PADDING)
+            if required > max_buffer_size:
+                return ADAPTIVE_STORAGE_FAILED
+
+    W = band_width + BANDED_MATRIX_RIGHT_PADDING
+    scores = np.full((H, W), MIN_SCORE, dtype=np.int64)  # rolling rows
+    trace = np.zeros((nc + 1, W), dtype=np.int32)        # full height
+    band_starts = np.zeros(nc + 1, dtype=np.int64)
+
+    scores[0, :] = np.arange(W, dtype=np.int64) * gap  # row 0 boundary
+
+    read_pad = np.zeros(rl + band_width + 2 * CELLS_PER_THREAD, dtype=np.int64)
+    read_pad[:rl] = read
+
+    def get_score(row, col):
+        """get_score_tb (:118-138): out-of-band -> MIN; col -1 -> slot 0;
+        row mapped into the rolling buffer."""
+        bs = band_starts[row]
+        be = min(bs + band_width, max_column)
+        if (col > be or col < bs) and col != -1:
+            return MIN_SCORE
+        slot = 0 if col == -1 else col - bs
+        return int(scores[row % H, slot])
+
+    for gp in range(nc):
+        nid = order[gp]
+        row = gp + 1
+        bs = _band_start_for_row(row, gradient, band_width, band_shift, max_column)
+        band_starts[row] = bs
+
+        # initialize_band_tb (:85-103): slot 0 + right padding only
+        scores[row % H, 0] = MIN_SCORE
+        scores[row % H, band_width:] = MIN_SCORE
+
+        pc = int(g.incoming_edge_count[nid])
+        preds = g.incoming_edges[nid, :pc]
+
+        # vertical boundary + first traceback column (:366-438)
+        fe_prev = 0
+        if pc == 0:
+            scores[row % H, 0] = gap
+            trace[row, 0] = -row
+        else:
+            pred_idx = pos_of[preds[0]] + 1
+            if (gp - pred_idx) < H:
+                trace[row, 0] = -(row - pred_idx)
+                if bs > CELLS_PER_THREAD and pc == 1:
+                    fe_prev = MIN_SCORE + gap
+                else:
+                    penalty = max(MIN_SCORE, get_score(pred_idx, -1))
+                    for p in range(1, pc):
+                        pit = pos_of[preds[p]] + 1
+                        if (row - pit) < H:
+                            st = get_score(pit, -1)
+                            if penalty < st:
+                                penalty = st
+                                trace[row, 0] = -(row - pit)
+                    fe_prev = penalty + gap
+                    scores[row % H, 0] = fe_prev
+            else:
+                penalty = MIN_SCORE
+                for p in range(1, pc):
+                    pit = pos_of[preds[p]] + 1
+                    if (row - pit) < H:
+                        st = get_score(pit, -1)
+                        if penalty < st:
+                            penalty = st
+                            trace[row, 0] = -(row - pit)
+                fe_prev = penalty + gap
+                scores[row % H, 0] = fe_prev
+
+        gbase = g.nodes[nid]
+
+        # per-cell DP with per-predecessor distance skip (:446-536)
+        base = np.full(band_width, MIN_SCORE, dtype=np.int64)
+        tr_row = np.zeros(band_width, dtype=np.int32)
+        plist = [0] if pc == 0 else [pos_of[preds[p]] + 1 for p in range(pc)]
+        for k0 in range(0, band_width, CELLS_PER_THREAD):
+            rp = bs + k0
+            profile = np.where(
+                read_pad[rp : rp + 4] == gbase, match, mismatch
+            ).astype(np.int64)
+            cur = np.full(4, MIN_SCORE, dtype=np.int64)
+            tr4 = np.zeros(4, dtype=np.int32)
+            for p_i, pi in enumerate(plist):
+                # the reference gates predecessors p >= 1 on
+                # (score_gIdx - pred_idx) < H (:460-467) but calls
+                # get_scores_tb for pred 0 UNCONDITIONALLY (:456) — an
+                # out-of-range pred 0 reads whatever newer row currently
+                # occupies its rolling-buffer slot. Deterministic, so
+                # reproduced exactly (scores[pi % H] below).
+                if pc > 0 and p_i >= 1 and (row - pi) >= H:
+                    continue
+                pbs = band_starts[pi]
+                pbe = min(pbs + band_width - CELLS_PER_THREAD, max_column)
+                if rp > pbe or rp < pbs:
+                    continue
+                vals = scores[pi % H, rp - pbs : rp - pbs + 5]
+                dist = row - pi
+                for k in range(4):
+                    diag = vals[k] + profile[k]
+                    vert = vals[k + 1] + gap
+                    if diag >= vert:
+                        if diag > cur[k]:
+                            cur[k] = diag
+                            tr4[k] = dist
+                    else:
+                        if vert > cur[k]:
+                            cur[k] = vert
+                            tr4[k] = -dist
+            base[k0 : k0 + 4] = cur
+            tr_row[k0 : k0 + 4] = tr4
+
+        # horizontal closure, strictly-greater -> trace 0 (:473-516)
+        last = fe_prev
+        for k in range(band_width):
+            if base[k] < last + gap:
+                base[k] = last + gap
+                tr_row[k] = 0
+            last = base[k]
+        scores[row % H, 1 : band_width + 1] = base
+        trace[row, 1 : band_width + 1] = tr_row
+
+    # traceback start among distance-reachable sinks (:543-568)
+    i, j = 0, rl
+    mscore = MIN_SCORE
+    for idx in range(1, nc + 1):
+        if g.outgoing_edge_count[order[idx - 1]] == 0:
+            if (nc - idx) < H:
+                s = get_score(idx, j)
+                if mscore < s:
+                    mscore = s
+                    i = idx
+    if i == 0:
+        return TRACEBACK_BUFFER_FAILED
+
+    ag, ar = [], []
+    loop_count = 0
+    while not (i == 0 and j == 0) and loop_count < rl + nc + 2:
+        loop_count += 1
+        bs = _band_start_for_row(i, gradient, band_width, band_shift, max_column)
+        t = int(trace[i, j - bs]) if 0 <= j - bs < W else 0
+        if t == 0:
+            ag.append(-1)
+            ar.append(j - 1)
+            j -= 1
+        elif t < 0:
+            ag.append(order[i - 1])
+            ar.append(-1)
+            i += t
+        else:
+            ag.append(order[i - 1])
+            ar.append(j - 1)
+            i -= t
+            j -= 1
+            if adaptive and rerun == 0 and band_width < MAX_ADAPTIVE_BAND_WIDTH:
+                threshold = max(1, max_column // 1024)  # rule 7
+                if threshold < j < max_column - threshold:
+                    bs2 = _band_start_for_row(
+                        i, gradient, band_width, band_shift, max_column
+                    )
+                    if j <= bs2 + threshold:  # rule 8-a
+                        return SHIFT_LEFT
+                    if j >= bs2 + band_width - threshold:  # rule 8-b
+                        return SHIFT_RIGHT
+
+    if loop_count >= rl + nc + 2:
+        return BACKTRACKING_LOOP_FAILED
+    return np.array(ag, dtype=np.int32), np.array(ar, dtype=np.int32)
+
+
+def nw_align_banded_tb_with_rerun(
+    graph: PoaGraph,
+    read: np.ndarray,
+    gap: int,
+    mismatch: int,
+    match: int,
+    band_width: int,
+    adaptive: bool,
+    score_matrix_height: int,
+    max_buffer_size: float | None = None,
+):
+    """generatePOAKernel rerun protocol for the traceback band modes
+    (cudapoa_kernels.cuh:355-440)."""
+    r = nw_align_banded_tb(
+        graph, read, gap, mismatch, match, band_width, adaptive,
+        score_matrix_height, 0, max_buffer_size,
+    )
+    if isinstance(r, int) and r in (SHIFT_LEFT, SHIFT_RIGHT):
+        r = nw_align_banded_tb(
+            graph, read, gap, mismatch, match, band_width, adaptive,
+            score_matrix_height, r, max_buffer_size,
+        )
+    return r
+
+
 def nw_align_banded_with_rerun(
     graph: PoaGraph,
     read: np.ndarray,

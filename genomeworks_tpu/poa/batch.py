@@ -384,32 +384,63 @@ class PoaBatch:
         mode = {
             BandMode.static_band: "static_band",
             BandMode.adaptive_band: "adaptive_band",
-            BandMode.static_band_traceback: "static_band",
-            BandMode.adaptive_band_traceback: "adaptive_band",
+            BandMode.static_band_traceback: "static_band_traceback",
+            BandMode.adaptive_band_traceback: "adaptive_band_traceback",
         }[cfg.band_mode]
+        tb_mode = cfg.band_mode in (
+            BandMode.static_band_traceback, BandMode.adaptive_band_traceback
+        )
 
-        if (
-            self.output_mask == OutputType.consensus
-            and jax.default_backend() != "cpu"
-        ):
-            cons, cov, cst = jax_poa.poa_batch_consensus_banded(
-                self._groups,
-                gap=self.gap_score,
-                mismatch=self.mismatch_score,
-                match=self.match_score,
-                max_nodes=cfg.max_nodes_per_graph,
-                band_width=cfg.alignment_band_width,
-                weights=self._weights,
-                band_mode=mode,
-            )
-            self._consensus_cache = (
-                [c if s == 0 else "" for c, s in zip(cons, cst)],
-                [
-                    v if s == 0 else np.zeros(0, np.int32)
-                    for v, s in zip(cov, cst)
-                ],
-                [_JAX_STATUS.get(s, StatusType.generic_error) for s in cst],
-            )
+        if not tb_mode and jax.default_backend() != "cpu":
+            # device banded chain: consensus and/or MSA both run the
+            # banded Pallas kernel (the reference instantiates every
+            # band mode x output type on device,
+            # cudapoa_kernels.cuh:613-1053); r4 dropped banded MSA to a
+            # per-window host loop
+            if self.output_mask & OutputType.consensus:
+                cons, cov, cst = jax_poa.poa_batch_consensus_banded(
+                    self._groups,
+                    gap=self.gap_score,
+                    mismatch=self.mismatch_score,
+                    match=self.match_score,
+                    max_nodes=cfg.max_nodes_per_graph,
+                    band_width=cfg.alignment_band_width,
+                    weights=self._weights,
+                    band_mode=mode,
+                )
+                self._consensus_cache = (
+                    [c if s == 0 else "" for c, s in zip(cons, cst)],
+                    [
+                        v if s == 0 else np.zeros(0, np.int32)
+                        for v, s in zip(cov, cst)
+                    ],
+                    [_JAX_STATUS.get(s, StatusType.generic_error) for s in cst],
+                )
+            if self.output_mask & OutputType.msa:
+                msa, mst = jax_poa.poa_batch_msa_banded(
+                    self._groups,
+                    gap=self.gap_score,
+                    mismatch=self.mismatch_score,
+                    match=self.match_score,
+                    max_nodes=cfg.max_nodes_per_graph,
+                    band_width=cfg.alignment_band_width,
+                    weights=self._weights,
+                    band_mode=mode,
+                )
+                out_m, out_ms = [], []
+                for m, st in zip(msa, mst):
+                    if st != 0:
+                        out_m.append([])
+                        out_ms.append(
+                            _JAX_STATUS.get(st, StatusType.generic_error)
+                        )
+                    elif m and len(m[0]) >= cfg.max_consensus_size:
+                        out_m.append([])
+                        out_ms.append(StatusType.exceeded_maximum_sequence_size)
+                    else:
+                        out_m.append(m)
+                        out_ms.append(StatusType.success)
+                self._msa_cache = (out_m, out_ms)
             self._state = None
             self._nseqs = None
             self._generated = True
@@ -419,10 +450,14 @@ class PoaBatch:
             match=self.match_score, max_nodes=cfg.max_nodes_per_graph,
             band_mode=mode, band_width=cfg.alignment_band_width,
         )
+        if tb_mode:
+            # cudapoa_nw_tb_banded.cuh rolling score-buffer height
+            kw["max_pred_distance"] = cfg.max_banded_pred_distance
         _ERR = {
             "node_count_exceeded_maximum_graph_size": StatusType.node_count_exceeded_maximum_graph_size,
             "edge_count_exceeded_maximum_graph_size": StatusType.edge_count_exceeded_maximum_graph_size,
             "exceeded_adaptive_banded_matrix_size": StatusType.exceeded_adaptive_banded_matrix_size,
+            "exceeded_maximum_predecessor_distance": StatusType.exceeded_maximum_predecessor_distance,
             "loop_count_exceeded_upper_bound": StatusType.loop_count_exceeded_upper_bound,
         }
         want_cons = bool(self.output_mask & OutputType.consensus)

@@ -424,11 +424,13 @@ def poa_msa(
     max_nodes: int | None = None,
     band_mode: str = "full_band",
     band_width: int = 256,
+    max_pred_distance: int | None = None,
 ) -> list[str]:
     """Full window POA returning the multiple sequence alignment (the
     OutputType::msa path of Batch::generate_poa + get_msa)."""
     g = _build_window_graph(
-        seqs, weights, gap, mismatch, match, max_nodes, band_mode, band_width
+        seqs, weights, gap, mismatch, match, max_nodes, band_mode,
+        band_width, max_pred_distance,
     )
     return generate_msa(g, len(seqs))
 
@@ -442,11 +444,15 @@ def _build_window_graph(
     max_nodes: int | None,
     band_mode: str = "full_band",
     band_width: int = 256,
+    max_pred_distance: int | None = None,
 ) -> PoaGraph:
-    """band_mode in {"full_band", "static_band", "adaptive_band"} — banded
-    modes run the exact port of cudapoa_nw_banded.cuh incl. the adaptive
-    band-shift rerun protocol (the *_traceback modes share the banded
-    scoring semantics)."""
+    """band_mode in {"full_band", "static_band", "adaptive_band",
+    "static_band_traceback", "adaptive_band_traceback"} — banded modes run
+    the exact port of cudapoa_nw_banded.cuh incl. the adaptive band-shift
+    rerun protocol; the *_traceback modes run the distinct
+    cudapoa_nw_tb_banded.cuh semantics (rolling score buffer of
+    ``max_pred_distance`` rows, distance-gated predecessors, stored-trace
+    walk — default distance 2 * band_width, batch.cu:58)."""
     if not seqs:
         raise ValueError("empty window")
     enc = [np.frombuffer(s.encode("latin1"), dtype=np.uint8) for s in seqs]
@@ -464,13 +470,26 @@ def _build_window_graph(
         else:
             from genomeworks_tpu.poa import banded
 
-            r = banded.nw_align_banded_with_rerun(
-                g, enc[s], gap, mismatch, match, band_width,
-                adaptive=band_mode.startswith("adaptive"),
-            )
+            if band_mode.endswith("_traceback"):
+                H = (
+                    max_pred_distance if max_pred_distance
+                    else 2 * band_width
+                )
+                r = banded.nw_align_banded_tb_with_rerun(
+                    g, enc[s], gap, mismatch, match, band_width,
+                    adaptive=band_mode.startswith("adaptive"),
+                    score_matrix_height=H,
+                )
+            else:
+                r = banded.nw_align_banded_with_rerun(
+                    g, enc[s], gap, mismatch, match, band_width,
+                    adaptive=band_mode.startswith("adaptive"),
+                )
             if isinstance(r, int):
                 if r == banded.ADAPTIVE_STORAGE_FAILED:
                     raise PoaError("exceeded_adaptive_banded_matrix_size")
+                if r == banded.TRACEBACK_BUFFER_FAILED:
+                    raise PoaError("exceeded_maximum_predecessor_distance")
                 raise PoaError("loop_count_exceeded_upper_bound")
             ag, ar = r
         add_alignment(g, ag, ar, enc[s], weights[s], seq_id=s)
@@ -583,11 +602,13 @@ def poa_consensus(
     max_nodes: int | None = None,
     band_mode: str = "full_band",
     band_width: int = 256,
+    max_pred_distance: int | None = None,
 ) -> tuple[str, np.ndarray]:
     """Full window POA: backbone + iterative align/add/sort + consensus.
     Returns (consensus string, per-base coverage). max_nodes defaults to
     3 * max sequence size (BatchConfig ctor, batch.cu)."""
     g = _build_window_graph(
-        seqs, weights, gap, mismatch, match, max_nodes, band_mode, band_width
+        seqs, weights, gap, mismatch, match, max_nodes, band_mode,
+        band_width, max_pred_distance,
     )
     return generate_consensus(g)

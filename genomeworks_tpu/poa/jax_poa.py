@@ -1711,10 +1711,11 @@ def poa_batch_consensus(
 
 
 def _pallas_banded_plan(windows, max_nodes, max_edges, max_alignments,
-                        band_width, unit_w=False):
+                        band_width, unit_w=False, msa=False):
     """Shape plan for the static-band kernel: identical SMEM budget to
     _pallas_poa_plan but score/code rows are band_width wide (plus the
-    SMEM boundary arrays), so much longer windows fit on-chip."""
+    SMEM boundary arrays), so much longer windows fit on-chip. ``msa``
+    adds the in-kernel MSA bookkeeping/output budget and pins G = 1."""
     if band_width < 128 or band_width % 128:
         return None
     Lmax = max(max(len(s) for s in w) for w in windows)
@@ -1734,7 +1735,7 @@ def _pallas_banded_plan(windows, max_nodes, max_edges, max_alignments,
     )
     n_cands = [n for n in n_cands if n > Lmax]
     e_cands = [e for e in (max_edges, 24, 16) if e <= max_edges]
-    for G in (8, 6, 5, 4, 3, 2, 1):
+    for G in ((1,) if msa else (8, 6, 5, 4, 3, 2, 1)):
         for E_k in e_cands:
             for N in n_cands:
                 K = N + L
@@ -1747,6 +1748,9 @@ def _pallas_banded_plan(windows, max_nodes, max_edges, max_alignments,
                     + 2 * N + 8 + (N + 1) + 16
                     + 2 * (N + 1 + 8) + 64  # s_bnd + s_c0c + s_pow2
                 )
+                if msa:
+                    w += (N + 1) * S + 8 + S + 8 + 3 * (N + 8) + 2 * N + 8
+                    w += 2 * S * N  # msa output block (x2 buffering)
                 if w * G * 4 > 860_000:  # 1 MB minus Mosaic overhead headroom
                     continue
                 vmem = G * (
@@ -1955,6 +1959,94 @@ def _poa_batch_msa_pallas(windows, gap, mismatch, match, max_nodes,
         )
         for i, b in enumerate(redo):
             out_msa[b], out_status[b] = r_msa[i], r_st[i]
+    return out_msa, out_status
+
+
+def poa_batch_msa_banded(
+    windows: list[list[str]],
+    gap: int = -8,
+    mismatch: int = -6,
+    match: int = 8,
+    max_nodes: int | None = None,
+    band_width: int = 256,
+    weights: list[list[np.ndarray]] | None = None,
+    use_pallas: bool | None = None,
+    band_mode: str = "static_band",
+) -> tuple[list[list[str]], list[int]]:
+    """Banded POA with MSA output on device — the banded NW phases of
+    poa_batch_consensus_banded composed with the in-kernel racon
+    sort/column-map/emission of _poa_batch_msa_pallas (the reference
+    instantiates MSA x every band mode in one kernel,
+    cudapoa_kernels.cuh:613-1053; r4 ran banded MSA as a per-window host
+    loop). Kernel-flagged windows re-run through the host banded chain."""
+    from genomeworks_tpu.poa.cpu_reference import PoaError, poa_msa
+    from genomeworks_tpu.ops.poa_pallas import _pow2_lanes, poa_consensus_pallas
+
+    adaptive = band_mode.startswith("adaptive")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    band_alloc = _pow2_lanes(
+        band_width if not adaptive else min(1536, max(2 * band_width, 512))
+    )
+    plan = (
+        _pallas_banded_plan(
+            windows, max_nodes, MAX_NODE_EDGES, MAX_NODE_ALIGNMENTS,
+            band_alloc, unit_w=weights is None, msa=True,
+        )
+        if use_pallas
+        else None
+    )
+
+    def host_one(b):
+        try:
+            return poa_msa(
+                windows[b], weights[b] if weights else None, gap, mismatch,
+                match, max_nodes, band_mode=band_mode,
+                band_width=band_width,
+            ), 0
+        except PoaError as e:
+            code = {
+                "node_count_exceeded_maximum_graph_size": 1,
+                "edge_count_exceeded_maximum_graph_size": 2,
+                "loop_count_exceeded_upper_bound": 3,
+            }.get(str(e), 3)
+            return [], code
+
+    if plan is None:
+        out = [host_one(b) for b in range(len(windows))]
+        return [o[0] for o in out], [o[1] for o in out]
+
+    S, L, N, E_k, G = plan
+    assert G == 1  # in-kernel MSA emission requires one window per step
+    seqs, wts, lens, nseqs = _pack_windows(windows, weights, S, L)
+    wts_dev = (
+        jnp.ones((1, 1, 1), jnp.int32) if weights is None
+        else jnp.asarray(wts)
+    )
+    cons, cov, length, err, msa, mlen = poa_consensus_pallas(
+        jnp.asarray(seqs.astype(np.uint8)), wts_dev, jnp.asarray(lens),
+        jnp.asarray(nseqs),
+        S=S, L=L, N=N, E=E_k, A=min(MAX_NODE_ALIGNMENTS, E_k),
+        gap=gap, mismatch=mismatch, match=match, msa=True,
+        band_width=band_width, band_alloc=band_alloc, adaptive=adaptive,
+    )
+    msa = np.asarray(msa)
+    mlen = np.asarray(mlen)
+    err = np.asarray(err)
+    out_msa, out_status = [], []
+    for b, w in enumerate(windows):
+        if err[b] != 0:
+            # host banded rerun: exact semantics incl. capacity errors
+            m, st = host_one(b)
+            out_msa.append(m)
+            out_status.append(st)
+        else:
+            k = int(mlen[b])
+            out_msa.append(
+                [bytes(msa[b, s, :k].astype(np.uint8)).decode("latin1")
+                 for s in range(len(w))]
+            )
+            out_status.append(0)
     return out_msa, out_status
 
 

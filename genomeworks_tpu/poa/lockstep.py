@@ -151,22 +151,76 @@ def lockstep_plan(L: int, max_nodes: int | None = None):
     re-run at full caps by the caller); D the predecessor-distance ring
     (code 5 on overflow, same protocol — covid per-window max distance is
     p50 = 24 / p99 = 71, so D >= 64 is needed to serve the bulk of a real
-    racon workload). Larger N costs O(N) VPU work on every one-hot
-    gather; candidates prefer big N first (node overflows cost a full
-    per-window rerun), then big D."""
+    racon workload). Every one-hot gather costs O(N) VPU work, so N is
+    the SMALLEST candidate >= 2 * L — measured covid final-graph sizes
+    top out at 1.83 * L (r5 node-count probe) — falling back to the
+    largest budget-fitting N for long windows; D then takes the biggest
+    fitting ring."""
     Lp = 8 * ((L + 1 + 7) // 8)
-    K = ((640 + L + 2 + 7) // 8) * 8  # conservative (largest-N) K
-    for N in (640, 512, 448, 384, 320, 256, 192, 128):
-        if N < L + 2:
-            continue
-        if max_nodes is not None and N > max_nodes:
-            continue
+    cands = (128, 160, 192, 224, 256, 320, 384, 448, 512, 576, 640)
+
+    def fits(N):
+        if N < L + 2 or (max_nodes is not None and N > max_nodes):
+            return None
         K = ((N + L + 2 + 7) // 8) * 8
         for D in (128, 64, 32):
-            if _chain_vmem(N, D, Lp, K) > _VMEM_BUDGET:
-                continue
-            return N, D, Lp
+            if _chain_vmem(N, D, Lp, K) <= _VMEM_BUDGET:
+                return N, D, Lp
+        return None
+
+    for N in cands:  # smallest N >= 2L that fits
+        if N >= 2 * L:
+            r = fits(N)
+            if r is not None:
+                return r
+    for N in reversed(cands):  # long windows: biggest N that fits
+        r = fits(N)
+        if r is not None:
+            return r
     return None
+
+
+# window-count (group) buckets: ~1.25x steps so varying batch sizes hit a
+# bounded set of compiled grid sizes; padded groups run ~zero-work grid
+# steps (active-mask makes every in-kernel loop bound 0)
+_NG_STEPS = (1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64, 80,
+             96, 128, 160, 192, 256)
+
+
+def _bucket_ng(ng: int) -> int:
+    for s in _NG_STEPS:
+        if ng <= s:
+            return s
+    return ((ng + 63) // 64) * 64
+
+
+# length buckets (multiples of 64): windows run at the smallest plan that
+# fits their own length — one-hot gathers are O(N), so running a 160 bp
+# window at the 320 bp batch plan doubles its kernel cost (covid L p50 is
+# 163 while Lmax is 299)
+def _bucket_windows(lens_w, min_bucket=2 * W):
+    """Partition window indices into L-buckets (edges = multiples of 64).
+    Buckets smaller than ``min_bucket`` windows are merged upward (each
+    bucket pads to whole 128-lane groups; splitting tiny batches wastes
+    more in padding than it saves in N)."""
+    import collections
+
+    by_edge = collections.defaultdict(list)
+    for i, lw in enumerate(lens_w):
+        by_edge[max(64, ((lw + 63) // 64) * 64)].append(i)
+    edges = sorted(by_edge)
+    out = []
+    carry: list[int] = []
+    for j, e in enumerate(edges):
+        idxs = carry + by_edge[e]
+        carry = []
+        if len(idxs) < min_bucket and j + 1 < len(edges):
+            carry = idxs  # merge into the next (larger-L) bucket
+        else:
+            out.append((e, idxs))
+    if carry:
+        out.append((edges[-1], carry))
+    return out
 
 
 _CHAIN_CACHE: "OrderedDict" = None  # type: ignore[assignment]
@@ -251,37 +305,28 @@ def _get_chain(NG, S, L, Lp, N, D, K, gap, mismatch, match, unit_w, packed,
     return fn
 
 
-def poa_batch_consensus_lockstep(windows, gap=-8, mismatch=-6, match=8,
-                                 weights=None, interpret=None,
-                                 max_nodes=None):
-    """Consensus via the lockstep kernel chain (one window per vector
-    lane, 128/group). Returns (cons, cov, status) where a nonzero status
-    is the raw in-kernel error code — the caller re-runs those windows at
-    full caps (per-window kernel / XLA). Returns None when no plan fits
-    (or when this plan key previously failed to compile/run on this box —
-    a failed chain compile costs minutes and must never be re-paid).
-
-    Reference semantics: cudapoa generatePOAKernel full-band chain
-    (cudapoa_kernels.cuh:78) — bit-parity with poa_batch_consensus."""
+def _launch_bucket(windows, weights, L, gap, mismatch, match, interpret,
+                   max_nodes):
+    """Pack + upload + dispatch one L-bucket's chain WITHOUT syncing.
+    Returns an opaque handle for _finish_bucket, None when no plan fits
+    or the plan key previously failed. jax dispatch is async, so the next
+    bucket's host-side packing overlaps this bucket's device time."""
     from genomeworks_tpu.poa import jax_poa as jp
 
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     B0 = len(windows)
-    # bucket S to even, L to 32 (ADVICE r4: bound compiled chain variants)
     S = max(2, max(len(w) for w in windows))
-    S += S & 1
-    Lmax = max(max(len(s) for s in w) for w in windows)
-    L = max(32, ((Lmax + 31) // 32) * 32)
+    S += S & 1  # bucket S to even (ADVICE r4: bound chain variants)
     pln = lockstep_plan(L, max_nodes)
     if pln is None or S > 255:  # byte-packed coverage download needs S <= 255
         return None
     N, D, Lp = pln
     K = ((N + L + 2 + 7) // 8) * 8
-    if (S, L, N, D, gap, mismatch, match, weights is None) in _FAILED_KEYS:
+    key = (S, L, N, D, gap, mismatch, match, weights is None)
+    if key in _FAILED_KEYS:
         return None
     seqs, wts, lens, nseqs = jp._pack_windows(windows, weights, S, L)
-    B = pad_groups(B0) * W
+    B = pad_groups(B0)
+    B = _bucket_ng(B) * W  # grid-size buckets bound compiled variants
     if B != B0:
         pad = B - B0
         seqs = np.concatenate([seqs, np.zeros((pad, S, L), seqs.dtype)])
@@ -307,16 +352,26 @@ def poa_batch_consensus_lockstep(windows, gap=-8, mismatch=-6, match=8,
             jnp.asarray(wts) if weights is not None
             else jnp.zeros((), jnp.int32),
         )
-        u8 = np.asarray(u8)
     except Exception:
         # cache the failure: a failed chain compile costs minutes, and the
         # caller's fallback would otherwise re-pay it on every call
-        _FAILED_KEYS.add((S, L, N, D, gap, mismatch, match, weights is None))
+        _FAILED_KEYS.add(key)
+        raise
+    return u8, meta, N, acgt, dec, B0, key
+
+
+def _finish_bucket(handle):
+    """Sync one bucket and decode its outputs."""
+    u8, meta, N, acgt, dec, B0, key = handle
+    try:
+        u8 = np.asarray(u8)
+        meta = np.asarray(meta)
+    except Exception:
+        _FAILED_KEYS.add(key)
         raise
     cons, cov = u8[:, :N], u8[:, N:].astype(np.int32)
     if acgt:
         cons = dec[cons & 7]
-    meta = np.asarray(meta)
     length, err = meta[:, 0], meta[:, 1]
     o_cons, o_cov, o_st = [], [], []
     for b in range(B0):
@@ -331,4 +386,51 @@ def poa_batch_consensus_lockstep(windows, gap=-8, mismatch=-6, match=8,
             )
             o_cov.append(cov[b, :k][::-1].copy())
             o_st.append(0)
+    return o_cons, o_cov, o_st
+
+
+def poa_batch_consensus_lockstep(windows, gap=-8, mismatch=-6, match=8,
+                                 weights=None, interpret=None,
+                                 max_nodes=None):
+    """Consensus via the lockstep kernel chain (one window per vector
+    lane, 128/group). The batch is partitioned into window-length buckets
+    so short windows run at a proportionally small node cap N (one-hot
+    gathers cost O(N) — on the covid workload L p50 is 163 vs Lmax 299,
+    so one whole-batch plan doubled most windows' kernel cost); buckets
+    dispatch asynchronously so host packing overlaps device compute.
+
+    Returns (cons, cov, status) where a nonzero status is the raw
+    in-kernel error code — the caller re-runs those windows at full caps
+    (per-window kernel / XLA). Status 99 marks windows whose bucket had
+    no usable plan (previously-failed compile). Returns None when NO
+    bucket could run.
+
+    Reference semantics: cudapoa generatePOAKernel full-band chain
+    (cudapoa_kernels.cuh:78) — bit-parity with poa_batch_consensus."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B0 = len(windows)
+    lens_w = [max(len(s) for s in w) for w in windows]
+    buckets = _bucket_windows(lens_w)
+    # dispatch largest-L bucket first: it owns the longest device time,
+    # maximizing the window for the other buckets' host-side packing
+    buckets.sort(key=lambda b: -b[0])
+    launched = []
+    for L, idxs in buckets:
+        sub = [windows[i] for i in idxs]
+        subw = [weights[i] for i in idxs] if weights else None
+        h = _launch_bucket(sub, subw, L, gap, mismatch, match, interpret,
+                           max_nodes)
+        launched.append((idxs, h))
+    if all(h is None for _, h in launched):
+        return None
+    o_cons = [""] * B0
+    o_cov = [np.zeros(0, np.int32)] * B0
+    o_st = [99] * B0  # bucket unserved -> caller falls back
+    for idxs, h in launched:
+        if h is None:
+            continue
+        c, v, s = _finish_bucket(h)
+        for j, i in enumerate(idxs):
+            o_cons[i], o_cov[i], o_st[i] = c[j], v[j], s[j]
     return o_cons, o_cov, o_st
