@@ -160,9 +160,16 @@ def map_reads(
 
 def _map_reads_device(
     query_parser, target_parser, params, all_to_all, filtering,
-    q_ranges, t_ranges,
-) -> list[Overlap]:
-    """Device-resident pipeline loop (see mapper.device_pipeline)."""
+    q_ranges, t_ranges, pairs=None, return_pair_ids=False,
+):
+    """Device-resident pipeline loop (see mapper.device_pipeline).
+
+    ``pairs`` (optional) is an explicit [(global_idx, q_rng, t_rng)] work
+    list — the multi-host path passes its round-robin share so only THOSE
+    pairs run here (r4's version passed per-process range sets, which
+    re-expanded to the full cross product: duplicated pairs). With
+    ``return_pair_ids`` the per-overlap global pair index is returned too
+    so the multi-host merge can restore the single-process pair order."""
     from genomeworks_tpu.mapper.device_pipeline import (
         build_index_device,
         get_overlaps_device_pipeline,
@@ -191,15 +198,20 @@ def _map_reads_device(
             t_index = t_cache[t_rng] = build(target_parser, t_rng)
         return q_index, t_index
 
-    pairs = [
-        (q_rng, t_rng)
-        for q_rng in q_ranges
-        for t_rng in t_ranges
-        if not (all_to_all and t_rng[0] < q_rng[0])
-    ]
+    if pairs is None:
+        pairs = [
+            (i, q_rng, t_rng)
+            for i, (q_rng, t_rng) in enumerate(
+                (q, t)
+                for q in q_ranges
+                for t in t_ranges
+                if not (all_to_all and t[0] < q[0])
+            )
+        ]
     overlaps_all: list[Overlap] = []
+    pair_ids: list[int] = []
     if not pairs:
-        return overlaps_all
+        return (overlaps_all, pair_ids) if return_pair_ids else overlaps_all
 
     # copy/compute overlap (the reference double-buffers the next index's
     # H2D copy against the current batch's compute, main.cu:319-365): a
@@ -210,11 +222,11 @@ def _map_reads_device(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(1) as ex:
-        fut = ex.submit(get_indexes, *pairs[0])
+        fut = ex.submit(get_indexes, *pairs[0][1:])
         for k in range(len(pairs)):
             q_index, t_index = fut.result()
             if k + 1 < len(pairs):
-                fut = ex.submit(get_indexes, *pairs[k + 1])
+                fut = ex.submit(get_indexes, *pairs[k + 1][1:])
             arrs = get_overlaps_device_pipeline(
                 q_index, t_index, all_to_all,
                 params.min_residues, params.min_overlap_len,
@@ -224,8 +236,11 @@ def _map_reads_device(
             arrs = post_process_overlaps_arrays(
                 arrs, params.drop_fused_overlaps
             )
-            overlaps_all.extend(arrs.to_overlaps())
-    return overlaps_all
+            ovs = arrs.to_overlaps()
+            overlaps_all.extend(ovs)
+            if return_pair_ids:
+                pair_ids.extend([pairs[k][0]] * len(ovs))
+    return (overlaps_all, pair_ids) if return_pair_ids else overlaps_all
 
 
 def align_overlaps(

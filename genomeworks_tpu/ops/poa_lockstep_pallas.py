@@ -665,39 +665,49 @@ def _add_kernel(
         # aligned-list updates for a new aligned node (plane cap A -> err 6)
         ok_cap = new_al & (na + 1 <= A - 1)
         errv = jnp.where(new_al & (na + 1 > A - 1) & (errv == 0), 6, errv)
-
-        def al_upd(a, alc_v):
-            aid = _og(al_s[a], gid_c, N)
-            aid_c = jnp.clip(aid, 0, N - 1)
-            m_a = ok_cap & (a < na)
-            acnt = _og(alc_v, aid_c, N)
-            macnt = jnp.minimum(acnt, A - 1)
-            for a2 in range(A):
-                al_s[a2] = jnp.where(
-                    (iN == aid_c) & m_a & (macnt == a2), cur_c,
-                    al_s[a2],
-                )
-            alc_v = _sc(alc_v, aid_c, acnt + 1, m_a, N)
-            # cur's own list entry a = aid
-            al_s[a] = jnp.where(
-                (iN == cur_c) & m_a, aid_c, al_s[a]
-            )
-            return alc_v
-
-        alc_v = jax.lax.fori_loop(0, max_na, al_upd, alc_v)
-
-        for a2 in range(A):
-            sel = ok_cap & (na == a2)
-            al_s[a2] = jnp.where(
-                (iN == gid_c) & sel, cur_c, al_s[a2]
-            )
-            al_s[a2] = jnp.where(
-                (iN == cur_c) & sel, gid_c, al_s[a2]
-            )
-
-        alc_v = _sc(alc_v, gid_c, na + 1, ok_cap, N)
-        alc_v = _sc(alc_v, cur_c, na + 1, ok_cap, N)
         alc_s[...] = alc_v
+
+        # new aligned nodes are rare (one per mismatch column against an
+        # un-aligned existing base); the static A-wide list rewrite below
+        # is ~16 full-plane passes, so skip the whole block on the common
+        # steps where NO window in the group needs it (every op inside is
+        # masked by ok_cap, so skipping is exact)
+        @pl.when(jnp.any(ok_cap))
+        def _aligned_updates():
+            alc_v = alc_s[...]
+
+            def al_upd(a, alc_v):
+                aid = _og(al_s[a], gid_c, N)
+                aid_c = jnp.clip(aid, 0, N - 1)
+                m_a = ok_cap & (a < na)
+                acnt = _og(alc_v, aid_c, N)
+                macnt = jnp.minimum(acnt, A - 1)
+                for a2 in range(A):
+                    al_s[a2] = jnp.where(
+                        (iN == aid_c) & m_a & (macnt == a2), cur_c,
+                        al_s[a2],
+                    )
+                alc_v = _sc(alc_v, aid_c, acnt + 1, m_a, N)
+                # cur's own list entry a = aid
+                al_s[a] = jnp.where(
+                    (iN == cur_c) & m_a, aid_c, al_s[a]
+                )
+                return alc_v
+
+            alc_v = jax.lax.fori_loop(0, max_na, al_upd, alc_v)
+
+            for a2 in range(A):
+                sel = ok_cap & (na == a2)
+                al_s[a2] = jnp.where(
+                    (iN == gid_c) & sel, cur_c, al_s[a2]
+                )
+                al_s[a2] = jnp.where(
+                    (iN == cur_c) & sel, gid_c, al_s[a2]
+                )
+
+            alc_v = _sc(alc_v, gid_c, na + 1, ok_cap, N)
+            alc_v = _sc(alc_v, cur_c, na + 1, ok_cap, N)
+            alc_s[...] = alc_v
 
         # edge insertion / weight update
         has_head = act & (head != -1)

@@ -82,7 +82,9 @@ def map_reads_multihost(
     if nproc == 1:
         return map_reads(query_parser, target_parser, params, all_to_all)
 
-    # round-robin the pair list; each process runs its share locally
+    # round-robin the pair list; each process runs EXACTLY its share
+    # locally (r4 passed per-process range SETS which _map_reads_device
+    # re-expanded to the full cross product — duplicated pairs)
     from genomeworks_tpu.mapper.pipeline import _map_reads_device
 
     q_ranges = group_reads_into_index_ranges(
@@ -92,18 +94,25 @@ def map_reads_multihost(
         target_parser, params.target_index_size_mb * 1_000_000
     )
     pairs = [
-        (qr, tr)
-        for qr in q_ranges
-        for tr in t_ranges
-        if not (all_to_all and tr[0] < qr[0])
+        (i, qr, tr)
+        for i, (qr, tr) in enumerate(
+            (q, t)
+            for q in q_ranges
+            for t in t_ranges
+            if not (all_to_all and t[0] < q[0])
+        )
     ]
     mine = pairs[pid::nproc]
-    local = _map_reads_device(
+    local, pair_ids = _map_reads_device(
         query_parser, target_parser, params, all_to_all,
         params.filtering_parameter or 1e-5,
-        sorted({p[0] for p in mine}), sorted({p[1] for p in mine}),
+        None, None, pairs=mine, return_pair_ids=True,
     )
-    # gather per-host results over DCN; merge in (process, local) order
+    # gather per-host results over DCN. process_allgather needs equal
+    # shapes, so gather the counts first and pad to the max; each row
+    # carries its global pair index so the merge can restore the
+    # single-process pair order exactly (stable sort keeps the in-pair
+    # pipeline order) — the merged list is byte-identical to map_reads.
     from jax.experimental import multihost_utils
 
     fields = np.array(
@@ -116,27 +125,41 @@ def map_reads_multihost(
                 o.target_end_position_in_read,
                 1 if o.relative_strand == "-" else 0,
                 o.num_residues,
+                g,
             ]
-            for o in local
+            for o, g in zip(local, pair_ids)
         ],
         dtype=np.int64,
-    ).reshape(-1, 8)
-    gathered = multihost_utils.process_allgather(fields)
+    ).reshape(-1, 9)
+    counts = np.asarray(
+        multihost_utils.process_allgather(
+            np.array([fields.shape[0]], dtype=np.int64)
+        )
+    ).reshape(-1)
+    cap = int(counts.max()) if counts.size else 0
+    padded = np.full((cap, 9), -1, dtype=np.int64)
+    padded[: fields.shape[0]] = fields
+    gathered = np.asarray(
+        multihost_utils.process_allgather(padded)
+    ).reshape(nproc, cap, 9)
+    rows = np.concatenate(
+        [gathered[p, : int(counts[p])] for p in range(nproc)], axis=0
+    )
+    rows = rows[np.argsort(rows[:, 8], kind="stable")]
     from genomeworks_tpu.mapper.overlapper import Overlap
 
     out = []
-    for rows in gathered:
-        for r in np.asarray(rows).reshape(-1, 8):
-            out.append(
-                Overlap(
-                    query_read_id=int(r[0]),
-                    target_read_id=int(r[1]),
-                    query_start_position_in_read=int(r[2]),
-                    query_end_position_in_read=int(r[3]),
-                    target_start_position_in_read=int(r[4]),
-                    target_end_position_in_read=int(r[5]),
-                    relative_strand="-" if r[6] else "+",
-                    num_residues=int(r[7]),
-                )
+    for r in rows:
+        out.append(
+            Overlap(
+                query_read_id=int(r[0]),
+                target_read_id=int(r[1]),
+                query_start_position_in_read=int(r[2]),
+                query_end_position_in_read=int(r[3]),
+                target_start_position_in_read=int(r[4]),
+                target_end_position_in_read=int(r[5]),
+                relative_strand="-" if r[6] else "+",
+                num_residues=int(r[7]),
             )
+        )
     return out
