@@ -298,11 +298,22 @@ def bench_aligner_full(B=1024, M=2048, N=2048, W=256, iters=9):
 def bench_extender(iters=3):
     """Ungapped X-drop extension seeds/s on the bundled golden workload
     (143670 seed pairs over the sample genome, reference:
-    cudaextender sample + Test_CudaextenderEnd2End)."""
+    cudaextender sample + Test_CudaextenderEnd2End). Also derives an
+    issue-bound ceiling (VERDICT r5 #8): the measured peak 128-bp
+    chunk-slot rate of the lockstep inner loop (_extend_fixed marginal),
+    with every seed charged its MINIMUM work of one chunk per direction
+    and zero host/dispatch overhead — losses vs this ceiling are
+    straggler chunks + compaction + host time."""
+    import jax.numpy as jnp
+
     from genomeworks_tpu.extender import (
         create_extender,
         encode_sequence,
         parse_seed_pairs,
+    )
+    from genomeworks_tpu.extender.xdrop import (
+        DEFAULT_SCORE_MATRIX,
+        _extend_fixed,
     )
     from genomeworks_tpu.io import create_fasta_parser
 
@@ -324,7 +335,32 @@ def bench_extender(iters=3):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    return len(seeds) / float(np.median(times))
+    seeds_per_s = len(seeds) / float(np.median(times))
+
+    # peak chunk-slot rate: marginal time of 8 extra lockstep chunks
+    sarr = np.asarray(seeds, dtype=np.int64).reshape(-1, 2)
+    qpos = jnp.asarray(sarr[:, 0], jnp.int32)
+    tpos = jnp.asarray(sarr[:, 1], jnp.int32)
+    sub = jnp.asarray(DEFAULT_SCORE_MATRIX.reshape(-1), jnp.int32)
+    enc_j = jnp.asarray(enc)
+
+    def chunks(n):
+        st = _extend_fixed(enc_j, enc_j, qpos, tpos, sub, 910, False, n)
+        return np.asarray(st[1][:1])
+
+    chunks(8), chunks(16)  # compile both
+    t8 = min(
+        (lambda t0: (chunks(8), time.perf_counter() - t0)[1])(
+            time.perf_counter()) for _ in range(5)
+    )
+    t16 = min(
+        (lambda t0: (chunks(16), time.perf_counter() - t0)[1])(
+            time.perf_counter()) for _ in range(5)
+    )
+    slot_rate = len(seeds) * 8 / max(t16 - t8, 1e-9)  # chunk-slots/s
+    ceiling = slot_rate / 2  # >= 1 chunk per seed per direction
+    sol_pct = 100.0 * seeds_per_s / ceiling
+    return seeds_per_s, round(sol_pct, 1), round(ceiling, 0)
 
 
 def aligner_speed_of_light_pct(gcells_per_s, W=256):
@@ -401,12 +437,14 @@ def main():
         }))
 
     try:
-        seeds_per_s = bench_extender()
+        seeds_per_s, xd_sol, xd_ceiling = bench_extender()
         print(json.dumps({
             "metric": "xdrop_extension_throughput",
             "value": round(seeds_per_s, 1),
             "unit": "seeds/s",
             "vs_baseline": None,
+            "speed_of_light_pct": xd_sol,
+            "issue_bound_ceiling_seeds_s": xd_ceiling,
         }))
     except Exception as e:
         print(json.dumps({

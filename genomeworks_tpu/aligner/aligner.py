@@ -60,6 +60,11 @@ class Aligner:
         same device RLE traceback and produce identical paths under the
         band-retry protocol.
 
+        "myers_full" runs the same bit-parallel DP with the band spanning
+        the whole matrix from the start (the reference's full-matrix
+        myers_gpu path for short pairs, myers_gpu.cu:317-443) — exact
+        with no retry ladder; prefer "myers" beyond a few kb.
+
         "ukkonen" is the reference's legacy Ukkonen band policy
         (cudaaligner/src/aligner_global_ukkonen.cpp, ukkonen_gpu.cu:40)
         on the same device DP: the band is sized up-front from the
@@ -75,7 +80,7 @@ class Aligner:
 
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
-        if engine not in ("myers", "nw", "ukkonen"):
+        if engine not in ("myers", "nw", "ukkonen", "myers_full"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.ukkonen_p = ukkonen_p
@@ -176,6 +181,12 @@ class Aligner:
     # -- internals ----------------------------------------------------------
     def _initial_band(self, e: _Entry) -> int:
         diff = abs(len(e.query) - len(e.target))
+        if self.engine == "myers_full":
+            # full-matrix Myers (reference myers_gpu.cu:317-443 full path,
+            # used for short pairs): the band spans every diagonal from
+            # the start, so the result is exact with no retry ladder and
+            # no max_bandwidth clamp
+            return self._full_band(e)
         if self.engine == "ukkonen":
             # Ukkonen band sizing (aligner_global_ukkonen.cpp): diagonals
             # |j - i - diff_sign| within p of the length-difference path
@@ -204,6 +215,8 @@ class Aligner:
         engine = self.engine
         if engine == "ukkonen":
             engine = "myers"  # band policy only; primary kernel underneath
+        if engine == "myers_full":
+            engine = "myers"  # band = the whole matrix; same bit-parallel DP
         if engine == "myers" and mq > 8192:
             engine = "nw"
         if self.use_pallas and engine == "myers":

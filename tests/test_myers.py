@@ -65,3 +65,49 @@ def test_myers_batched_multi_word_mixed_lengths():
         ts.append(mutate_sequence(q, rng, 0.08, 0.08))
     want = [edit_distance_cpu(q, t) for q, t in zip(qs, ts)]
     assert list(myers_edit_distance_batched(qs, ts)) == want
+
+
+def test_myers_full_engine_matches_oracles():
+    """Aligner(engine="myers_full") — the reference's full-matrix Myers
+    path for short pairs (myers_gpu.cu:317-443): band spans the whole
+    matrix from the start, exact with no retry, parity vs the CPU Myers
+    oracle and the batched full-matrix scan."""
+    import numpy as np
+
+    from genomeworks_tpu.aligner import create_aligner
+    from genomeworks_tpu.aligner.myers import (
+        myers_edit_distance_batched,
+        myers_edit_distance_cpu,
+    )
+
+    rng = np.random.default_rng(9)
+    bases = "ACGT"
+    pairs = []
+    for _ in range(12):
+        n = int(rng.integers(20, 200))
+        q = "".join(rng.choice(list(bases), n))
+        t = list(q)
+        for _ in range(int(rng.integers(1, 12))):
+            i = int(rng.integers(0, len(t)))
+            r = rng.random()
+            if r < 0.4:
+                t[i] = bases[int(rng.integers(4))]
+            elif r < 0.7 and len(t) > 5:
+                del t[i]
+            else:
+                t.insert(i, bases[int(rng.integers(4))])
+        pairs.append((q, "".join(t)))
+
+    a = create_aligner(engine="myers_full")
+    for q, t in pairs:
+        assert a.add_alignment(q, t) == 0
+    a.align_all()
+    alns = a.get_alignments()
+    assert len(alns) == len(pairs)
+    dists = myers_edit_distance_batched(
+        [p[0] for p in pairs], [p[1] for p in pairs]
+    )
+    for (q, t), aln, d_batched in zip(pairs, alns, dists):
+        assert aln.is_optimal
+        d_oracle = myers_edit_distance_cpu(t, q)
+        assert aln.get_edit_distance() == d_oracle == int(d_batched)
