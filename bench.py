@@ -257,7 +257,9 @@ def bench_aligner_full(B=1024, M=2048, N=2048, W=256, iters=9):
     from genomeworks_tpu.ops.myers_banded_pallas import (
         myers_banded_forward_pallas,
     )
-    from genomeworks_tpu.ops.rle_traceback_pallas import rle_traceback_pallas
+    from genomeworks_tpu.ops.rle_traceback_pallas import (
+        rle_traceback_lockstep_pallas,
+    )
 
     def timed(Bx):
         rng = np.random.default_rng(0)
@@ -274,7 +276,7 @@ def bench_aligner_full(B=1024, M=2048, N=2048, W=256, iters=9):
 
         def run():
             codes, fits = myers_banded_forward_pallas(q, t, qlen, tlen, W)
-            runs, nruns, dist, edge, ovf = rle_traceback_pallas(
+            runs, nruns, dist, edge, ovf = rle_traceback_lockstep_pallas(
                 codes, qlen, tlen, dlo, W
             )
             return np.asarray(nruns[:1])

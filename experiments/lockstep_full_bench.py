@@ -1,13 +1,19 @@
 """Full-chain lockstep POA: compiled timing + parity at bench shape.
 
+SUPERSEDED by experiments/lockstep_phase_profile.py, which times the
+PRODUCTION driver (poa_batch_consensus_lockstep) per phase; this script
+keeps the raw chain-builder timing for kernel-level experiments. Runs
+against the production kernels via the repo-relative path (ADVICE r4).
+
 Usage: python experiments/lockstep_full_bench.py [B S Lb N D] [--parity]
 """
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

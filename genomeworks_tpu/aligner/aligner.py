@@ -270,7 +270,11 @@ class Aligner:
                 traceback_host_packed,
             )
             from genomeworks_tpu.ops.rle_traceback_pallas import (
+                CHUNK_WORDS,
+                LANES,
+                ROWS_PER_WORD,
                 rle_traceback_fits,
+                rle_traceback_lockstep_pallas,
                 rle_traceback_pallas,
             )
 
@@ -310,8 +314,19 @@ class Aligner:
             # traceback stays on device; D2H is the RLE runs (~CIGAR-sized),
             # not the M/16 x W code planes (reference: myers_gpu.cu:444-530
             # emits RLE CIGARs device-side too)
+            # batch-scale buckets walk 128 alignments per lane group in
+            # lockstep (the scalar-chain kernel made the full pipeline
+            # traceback-bound); small batches keep the scalar kernel
+            M16 = q.shape[1] // ROWS_PER_WORD
+            use_lockstep_tb = (
+                B_pad >= LANES and M16 % CHUNK_WORDS == 0
+            )
+            tb_fn = (
+                rle_traceback_lockstep_pallas if use_lockstep_tb
+                else rle_traceback_pallas
+            )
             with annotate("aligner/rle_traceback"):
-                runs_d, nruns_d, _dist, edge_d, ovf_d = rle_traceback_pallas(
+                runs_d, nruns_d, _dist, edge_d, ovf_d = tb_fn(
                     codes, jnp.asarray(qlen), jnp.asarray(tlen),
                     jnp.asarray(dlo), bw,
                 )

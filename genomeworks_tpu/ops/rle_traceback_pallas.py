@@ -181,6 +181,227 @@ def _rle_kernel(
         ovf_ref[g, 0, 0] = (ovfs[g] | (has & (ns[g] >= RCAP))).astype(jnp.int32)
 
 
+LANES = 128      # alignments per lockstep group (vector lanes)
+CHUNK_WORDS = 4  # code words per DMA'd row chunk (64 rows)
+
+
+def _rle_lockstep_kernel(
+    qlen_ref, tlen_ref, dlo_ref,   # blocked (1, 1, LANES) i32
+    codes_h,                       # ANY (NGRP, M16, Wb, LANES); blocked INTERP
+    runs_ref,                      # out (1, RCAP, LANES)
+    nruns_ref, dist_ref, edge_ref, ovf_ref,  # out (1, 1, LANES)
+    buf,                           # VMEM (CHUNK_WORDS, Wb, LANES)
+    sem,
+    *, M: int, Wb: int, RCAP: int, INTERP: bool,
+):
+    """Lockstep RLE traceback: one alignment per vector lane, 128 per grid
+    step. The r4 kernel walked G = 2-3 interleaved SCALAR chains per step
+    (~40 scalar-issue-bound ops per walk step per alignment) and made the
+    full aligner pipeline traceback-bound (12.8 vs 44 Gcells/s forward,
+    VERDICT r5 #4). Here the walk is vectorized exactly like the POA
+    lockstep traceback (ops/poa_lockstep_pallas._tb_kernel): rows only
+    decrease, so a descending sweep over 64-row code chunks DMA'd from
+    HBM lets every lane whose cursor is inside the chunk step in
+    lockstep; the per-lane code fetch is a one-hot gather over the band
+    columns (~3 cycles/alignment/step). Match-run skipping and the RLE
+    emission semantics are IDENTICAL to _rle_kernel — run boundaries are
+    invariant to skip chunking, so outputs are bit-equal."""
+    g = pl.program_id(0)
+    CW = CHUNK_WORDS
+    rows_per_chunk = CW * ROWS_PER_WORD
+
+    def iota2(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
+
+    iota_wb = iota2(Wb)
+    iota_rcap = iota2(RCAP)
+    i0 = qlen_ref[0, pl.ds(0, 1), :]
+    j0 = tlen_ref[0, pl.ds(0, 1), :]
+    dlo = dlo_ref[0, pl.ds(0, 1), :]
+    runs_ref[0] = jnp.zeros((RCAP, LANES), jnp.int32)
+    sm = jnp.int32(_SRC_TAG)  # cache-key versioning
+
+    start_c = jnp.maximum(jnp.max((i0 - 1) // rows_per_chunk), 0)
+    n_chunks = start_c + 1
+
+    def step(c, carry):
+        i, j, n, op, ln, dist, edge, ovf, steps = carry
+        alive = (i > 0) | (j > 0)
+        r0 = jnp.clip(i - 1, 0, M - 1)
+        inchunk = alive & (((r0 // rows_per_chunk) == c) | (i == 0))
+        k = j - i - dlo
+        kc = jnp.clip(k, 0, Wb - 1)
+        crow = jnp.clip(r0 - c * rows_per_chunk, 0, rows_per_chunk - 1)
+        wplane = crow // ROWS_PER_WORD
+        colw = [
+            jnp.sum(jnp.where(iota_wb == kc, buf[p], 0), axis=0,
+                    keepdims=True)
+            for p in range(CW)
+        ]
+        word = colw[0]
+        for p in range(1, CW):
+            word = jnp.where(wplane == p, colw[p], word)
+        rr = r0 % ROWS_PER_WORD
+        code = (word >> (2 * rr)) & 3
+        in_main = (i > 0) & (j > 0)
+        # match-run skip (same coarse-msb logic as _rle_kernel, but
+        # elementwise on (1, LANES))
+        mask = jnp.where(
+            rr >= 15, jnp.int32(-1), (jnp.int32(1) << (2 * rr + 2)) - 1
+        )
+        below = word & mask
+        vu = below.astype(jnp.uint32)
+        ex = jnp.zeros_like(i)
+        for sh in (16, 8):
+            cset = (vu >> sh) != 0
+            ex = ex + jnp.where(cset, sh, 0)
+            vu = jnp.where(cset, vu >> sh, vu)
+        run0 = jnp.where(below == 0, rr + 1, rr - (ex + 7) // 2)
+        can_skip = in_main & (code == 0)
+        skip = jnp.clip(run0, 1, jnp.minimum(i, j))
+        r = jnp.where(in_main, code, jnp.where(i > 0, 3, 2))
+        count = jnp.where(can_skip, skip, 1)
+        act = inchunk & alive
+        emit = act & (op != -1) & (r != op)
+        slot = jnp.clip(n, 0, RCAP - 1)
+        runs_ref[0] = jnp.where(
+            (iota_rcap == slot) & emit, (op << 28) | ln, runs_ref[0]
+        )
+        ovf = ovf | (emit & (n >= RCAP)).astype(jnp.int32)
+        n = n + emit.astype(jnp.int32)
+        ln = jnp.where(act, jnp.where(emit | (op == -1), count, ln + count),
+                       ln)
+        op = jnp.where(act, r, op)
+        dist = dist + jnp.where(act & (r != 0), count, 0)
+        edge = edge | (act & in_main & ((k == 0) | (k == Wb - 1))).astype(
+            jnp.int32
+        )
+        di = jnp.where(r == 2, 0, count) * act.astype(jnp.int32)
+        dj = jnp.where(r == 3, 0, count) * act.astype(jnp.int32)
+        return (i - di, j - dj, n, op, ln, dist, edge, ovf, steps + 1)
+
+    def chunk_body(t, carry):
+        c = start_c - t
+        if INTERP:
+            buf[...] = codes_h[0, pl.ds(c * CW, CW), :, :]
+        else:
+            cp = pltpu.make_async_copy(
+                codes_h.at[g, pl.ds(c * CW, CW)], buf, sem
+            )
+            cp.start()
+            cp.wait()
+
+        def w_cond(carry):
+            i, j = carry[0], carry[1]
+            steps = carry[8]
+            alive = (i > 0) | (j > 0)
+            r0 = jnp.clip(i - 1, 0, M - 1)
+            inc = alive & (((r0 // rows_per_chunk) == c) | (i == 0))
+            return jnp.any(inc) & (steps < 2 * M + 4)
+
+        return jax.lax.while_loop(w_cond, lambda cr: step(c, cr), carry)
+
+    z = jnp.zeros((1, LANES), jnp.int32)
+    # flags ride the loop carry as int32: Mosaic fails to legalize
+    # scf.for with i1-vector carries ("failed to legalize 'scf.for'")
+    carry = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        (i0, j0, z, jnp.full((1, LANES), -1, jnp.int32), z, z + sm * 0,
+         z, z, jnp.int32(0)),
+    )
+    i, j, n, op, ln, dist, edge, ovf, _ = carry
+    has = op != -1
+    slot = jnp.clip(n, 0, RCAP - 1)
+    runs_ref[0] = jnp.where(
+        (iota_rcap == slot) & has, (op << 28) | ln, runs_ref[0]
+    )
+    nruns_ref[0, pl.ds(0, 1), :] = n + has.astype(jnp.int32)
+    dist_ref[0, pl.ds(0, 1), :] = dist
+    edge_ref[0, pl.ds(0, 1), :] = edge
+    ovf_ref[0, pl.ds(0, 1), :] = ovf | (has & (n >= RCAP)).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_width", "rcap", "interpret")
+)
+def rle_traceback_lockstep_pallas(
+    codes: jnp.ndarray,   # (B, M/16, W) int32 packed codes (device-resident)
+    qlen: jnp.ndarray,
+    tlen: jnp.ndarray,
+    dlo: jnp.ndarray,
+    band_width: int,
+    # the RLE emit is a one-hot scatter over rcap sublanes (rcap/8 vregs
+    # per emitting step) and the runs D2H is rcap*4 B/alignment, so the
+    # default is sized to realistic CIGARs (~2x mismatches + 1 runs);
+    # overflowing alignments fall back to the host walk per the ovf flag
+    rcap: int = 512,
+    interpret: bool | None = None,
+):
+    """Lockstep (128 alignments/group) device RLE traceback. Same contract
+    and bit-identical outputs to rle_traceback_pallas; preferred at batch
+    scale (the scalar-chain kernel stays for small batches)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, M16, Wb = codes.shape
+    if Wb != band_width:
+        raise ValueError("codes width != band_width")
+    assert M16 % CHUNK_WORDS == 0
+    M = M16 * ROWS_PER_WORD
+    pad = (-B) % LANES
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad, M16, Wb), codes.dtype)]
+        )
+        zi = jnp.zeros((pad,), jnp.int32)
+        qlen = jnp.concatenate([qlen.astype(jnp.int32), zi])
+        tlen = jnp.concatenate([tlen.astype(jnp.int32), zi])
+        dlo = jnp.concatenate([dlo.astype(jnp.int32), zi])
+    Bp = B + pad
+    NGRP = Bp // LANES
+    # lane-last plane layout (alignment = lane), one XLA transpose
+    codes_pl = jnp.transpose(
+        codes.reshape(NGRP, LANES, M16, Wb), (0, 2, 3, 1)
+    )
+    col = lambda v: jnp.transpose(
+        v.astype(jnp.int32).reshape(NGRP, LANES, 1), (0, 2, 1)
+    )
+    b1 = lambda *s: pl.BlockSpec((1,) + s, lambda b: (b,) + (0,) * len(s))
+    codes_spec = (
+        b1(M16, Wb, LANES) if interpret
+        else pl.BlockSpec(memory_space=pl.ANY)
+    )
+    kernel = functools.partial(
+        _rle_lockstep_kernel, M=M, Wb=Wb, RCAP=rcap, INTERP=interpret
+    )
+    runs, nruns, dist, edge, ovf = pl.pallas_call(
+        kernel,
+        grid=(NGRP,),
+        in_specs=[b1(1, LANES), b1(1, LANES), b1(1, LANES), codes_spec],
+        out_specs=(
+            b1(rcap, LANES), b1(1, LANES), b1(1, LANES), b1(1, LANES),
+            b1(1, LANES),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NGRP, rcap, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((NGRP, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((NGRP, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((NGRP, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((NGRP, 1, LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK_WORDS, Wb, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(col(qlen), col(tlen), col(dlo), codes_pl)
+    runs = jnp.transpose(runs, (0, 2, 1)).reshape(Bp, rcap)
+    flat = lambda v: jnp.transpose(v, (0, 2, 1)).reshape(Bp)
+    return (
+        runs[:B], flat(nruns)[:B], flat(dist)[:B],
+        flat(edge)[:B] != 0, flat(ovf)[:B] != 0,
+    )
+
+
 def rle_traceback_fits(M: int, W: int) -> bool:
     """Whether one alignment's packed codes fit the kernel's SMEM block
     (long-sequence buckets fall back to the host walk over sliced codes)."""
