@@ -60,6 +60,8 @@ def poa_batch_consensus_sharded(
     S = max(2, ((Smax + 1) // 2) * 2)
     N = 3 * L
     seqs, wts, lens, nseqs = _pack_windows(windows_p, None, S, L)
+    if wts is None:  # unit weights are no longer materialized (r5)
+        wts = np.ones((len(windows_p), S, L), dtype=np.int32)
     nseqs[n_real:] = 0  # mask padding windows (kernel skips nseqs == 0)
 
     interpret = jax.default_backend() == "cpu"

@@ -220,6 +220,12 @@ def _bucket_windows(lens_w, min_bucket=2 * W):
             out.append((e, idxs))
     if carry:
         out.append((edges[-1], carry))
+    # a tiny largest-L tail is not worth its own chain compile (and must
+    # NOT drag the whole previous bucket up to its L): send it to the
+    # caller's per-window fallback instead (bucket L = None)
+    if len(out) >= 2 and len(out[-1][1]) < W // 2:
+        e, idxs = out.pop()
+        out.append((None, idxs))
     return out
 
 
@@ -414,9 +420,12 @@ def poa_batch_consensus_lockstep(windows, gap=-8, mismatch=-6, match=8,
     buckets = _bucket_windows(lens_w)
     # dispatch largest-L bucket first: it owns the longest device time,
     # maximizing the window for the other buckets' host-side packing
-    buckets.sort(key=lambda b: -b[0])
+    buckets.sort(key=lambda b: -(b[0] or 0))
     launched = []
     for L, idxs in buckets:
+        if L is None:  # tiny long tail: caller's per-window fallback
+            launched.append((idxs, None))
+            continue
         sub = [windows[i] for i in idxs]
         subw = [weights[i] for i in idxs] if weights else None
         h = _launch_bucket(sub, subw, L, gap, mismatch, match, interpret,
