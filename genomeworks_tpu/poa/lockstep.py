@@ -222,8 +222,10 @@ def _bucket_windows(lens_w, min_bucket=2 * W):
         out.append((edges[-1], carry))
     # a tiny largest-L tail is not worth its own chain compile (and must
     # NOT drag the whole previous bucket up to its L): send it to the
-    # caller's per-window fallback instead (bucket L = None)
-    if len(out) >= 2 and len(out[-1][1]) < W // 2:
+    # caller's per-window fallback instead (bucket L = None). Threshold
+    # 16: the per-window fallback runs ~550 w/s, so beyond ~16 windows a
+    # dedicated (persistently cached) chain wins in steady state.
+    if len(out) >= 2 and len(out[-1][1]) < 16:
         e, idxs = out.pop()
         out.append((None, idxs))
     return out
@@ -428,8 +430,13 @@ def poa_batch_consensus_lockstep(windows, gap=-8, mismatch=-6, match=8,
             continue
         sub = [windows[i] for i in idxs]
         subw = [weights[i] for i in idxs] if weights else None
-        h = _launch_bucket(sub, subw, L, gap, mismatch, match, interpret,
-                           max_nodes)
+        # the 64-multiple edge only PARTITIONS; the chain compiles at the
+        # bucket's actual max length (32-rounded) — a batch whose Lmax
+        # just crosses an edge would otherwise pay up to 63 wasted
+        # sublanes of row work in every NW sweep
+        L_chain = max(32, ((max(lens_w[i] for i in idxs) + 31) // 32) * 32)
+        h = _launch_bucket(sub, subw, L_chain, gap, mismatch, match,
+                           interpret, max_nodes)
         launched.append((idxs, h))
     if all(h is None for _, h in launched):
         return None
