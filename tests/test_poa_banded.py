@@ -111,3 +111,38 @@ def test_strict_banded_batch_and_cli_flag():
     assert mst == [StatusType.success]
     for s, row in zip(w, msa[0]):
         assert row.replace("-", "") == s
+
+
+@pytest.mark.tpu
+def test_banded_msa_on_device_parity_tpu():
+    """poa_batch_msa_banded: the banded NW kernel phases composed with
+    the in-kernel racon sort/emission (the reference instantiates MSA x
+    every band mode on device, cudapoa_kernels.cuh:613-1053). Parity vs
+    the host banded chain."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs TPU")
+    import numpy as np
+
+    from genomeworks_tpu.poa.cpu_reference import poa_msa
+    from genomeworks_tpu.poa.jax_poa import poa_batch_msa_banded
+    from genomeworks_tpu.simulators.genomesim import (
+        generate_random_genome,
+        mutate_sequence,
+    )
+
+    rng = np.random.default_rng(2)
+    windows = []
+    for _ in range(6):
+        t = generate_random_genome(120, rng)
+        windows.append(
+            [t] + [mutate_sequence(t, rng, 0.05, 0.05) for _ in range(3)]
+        )
+    for mode in ("static_band", "adaptive_band"):
+        msa, st = poa_batch_msa_banded(windows, band_width=128,
+                                       band_mode=mode)
+        for b, w in enumerate(windows):
+            ref = poa_msa(w, band_mode=mode, band_width=128)
+            assert st[b] == 0
+            assert msa[b] == ref
