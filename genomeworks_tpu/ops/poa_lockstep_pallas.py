@@ -71,6 +71,16 @@ W = 128          # windows per group (vector lanes)
 NEG = -(1 << 24)           # score sentinel (fits packed << 5 in i32)
 NEGP = NEG << 5            # packed sentinel
 
+# packed per-node metadata plane: one one-hot gather yields every scalar
+# field at once (gathers cost O(N) VPU work and dominate the NW/add
+# kernels — r5 phase profile: add 38% / nw 36% of kernel time)
+#   meta = base | in_count << 8 | out_count << 11 | al_count << 15
+#        | coverage << 19
+# base is a raw byte (<= 255); in_count <= E = 7 (3 bits); out_count and
+# al_count <= 8 (4 bits); coverage <= S <= 255 (8 bits, driver enforces)
+MB_IC, MB_OC, MB_ALC, MB_COV = 8, 11, 15, 19
+ONE_IC, ONE_OC, ONE_COV = 1 << MB_IC, 1 << MB_OC, 1 << MB_COV
+
 # source-version tag baked into kernel programs: the persistent XLA cache
 # does not key on Mosaic custom-call payloads (see ops/poa_pallas.py)
 with open(__file__, "rb") as _f:
@@ -169,17 +179,15 @@ def _nw_kernel(
     rl_ref,        # (1, 1, W) read length
     # graph planes (ANY/HBM; (1, ...) blocks when INTERP)
     sortp_h,       # (NG, N, W) i32 topological order -> node id
-    nodes_h,       # (NG, N, W) i32 node base codes
-    in_count_h,    # (NG, N, W)
-    pos_h,         # (NG, N, W) node id -> topological position
-    out_count_h,   # (NG, N, W)
+    meta_h,        # (NG, N, W) i32 packed base|in_count|out_count|alc|cov
+    pos_h,         # (NG, N, W) i32 node id -> topological position
     in_e_h,        # (NG, E, N, W)
     # outputs
     codes_ref,     # HBM (NG, N//8, Lp, W) i32 (or VMEM block when INTERP)
     besti_ref,     # (1, 1, W) traceback start row
     err_ref,       # (1, 1, W) error accumulator (0 ok / 5 / 6)
     # scratch
-    sortp_s, nodes_s, in_count_s, pos_s, out_count_s,  # VMEM (N, W)
+    sortp_s, meta_s, pos_s,  # VMEM (N, W)
     in_e_s,        # VMEM (E, N, W)
     ring,          # VMEM (D, Lp, W) i16 row scores (packed on the fly)
     ev,            # VMEM (D, W) i32 per-distance edge values (32 - e; 0 = none)
@@ -190,8 +198,8 @@ def _nw_kernel(
 ):
     g = pl.program_id(0)
     _copy_planes(
-        ((sortp_s, sortp_h), (nodes_s, nodes_h), (in_count_s, in_count_h),
-         (pos_s, pos_h), (out_count_s, out_count_h), (in_e_s, in_e_h)),
+        ((sortp_s, sortp_h), (meta_s, meta_h), (pos_s, pos_h),
+         (in_e_s, in_e_h)),
         INTERP, sem, g,
     )
     act = act_ref[0, pl.ds(0, 1), :] != 0
@@ -217,9 +225,10 @@ def _nw_kernel(
         actr = act & (gp < ncm)
         nidr = sortp_s[pl.ds(gp, 1), :]  # FIFO order: uniform row read
         nid = jnp.clip(jnp.where(actr, nidr, 0), 0, N - 1)
-        gbase = _og(nodes_s[...], nid, N)
-        pc = _og(in_count_s[...], nid, N)
-        ocs = _og(out_count_s[...], nid, N)
+        mg = _og(meta_s[...], nid, N)  # one gather: base + counts
+        gbase = mg & 255
+        pc = (mg >> MB_IC) & 7
+        ocs = (mg >> MB_OC) & 15
         # cap guard: pc > E cannot be represented in 4-bit codes
         errv = jnp.where(actr & (pc > E) & (errv == 0), 6, errv)
         pcc = jnp.minimum(pc, E)
@@ -358,8 +367,7 @@ def nw_lockstep(state, read_pl, rl, act, *, D: int,
         grid=(NG,),
         in_specs=[
             b1(1, W), b1(1, W), b1(Lp, W), b1(1, W),
-            any_or(N, W), any_or(N, W), any_or(N, W), any_or(N, W),
-            any_or(N, W), any_or(E, N, W),
+            any_or(N, W), any_or(N, W), any_or(N, W), any_or(E, N, W),
         ],
         out_specs=(codes_spec, b1(1, W), b1(1, W)),
         out_shape=(
@@ -368,8 +376,6 @@ def nw_lockstep(state, read_pl, rl, act, *, D: int,
             jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N, W), jnp.int32),
-            pltpu.VMEM((N, W), jnp.int32),
             pltpu.VMEM((N, W), jnp.int32),
             pltpu.VMEM((N, W), jnp.int32),
             pltpu.VMEM((N, W), jnp.int32),
@@ -383,8 +389,7 @@ def nw_lockstep(state, read_pl, rl, act, *, D: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         state["node_count"], act, read_pl, rl,
-        state["sortp"], state["nodes"], state["in_count"], state["pos"],
-        state["out_count"], state["in_e"],
+        state["sortp"], state["meta"], state["pos"], state["in_e"],
     )
 
 
@@ -395,13 +400,13 @@ def nw_lockstep(state, read_pl, rl, act, *, D: int,
 
 def _tb_kernel(
     besti_ref, rl_ref, act_ref, err_ref,  # err from NW (5/6 already set)
-    sortp_h, in_count_h, pos_h, in_e_h,   # ANY graph planes
+    sortp_h, meta_h, pos_h, in_e_h,       # ANY graph planes
     codes_ref,     # HBM (NG, N//8, Lp, W) (or VMEM block when INTERP)
     ag_ref,        # (1, K, W) out: graph node per alignment slot (-1 = gap)
     ar_ref,        # (1, K, W) out: read pos per slot (-1 = gap)
     klen_ref,      # (1, 1, W)
     erro_ref,      # (1, 1, W)
-    sortp_s, in_count_s, pos_s,  # VMEM (N, W)
+    sortp_s, meta_s, pos_s,  # VMEM (N, W)
     in_e_s,        # VMEM (E, N, W)
     buf,           # VMEM (4, Lp, W) code-word chunk
     sem,
@@ -409,7 +414,7 @@ def _tb_kernel(
 ):
     g = pl.program_id(0)
     _copy_planes(
-        ((sortp_s, sortp_h), (in_count_s, in_count_h), (pos_s, pos_h),
+        ((sortp_s, sortp_h), (meta_s, meta_h), (pos_s, pos_h),
          (in_e_s, in_e_h)),
         INTERP, sem, g,
     )
@@ -456,7 +461,7 @@ def _tb_kernel(
         e = jnp.where(is_h, 0, e)
         nid = jnp.clip(_og(sortp_s[...], jnp.clip(i - 1, 0, N - 1), N),
                        0, N - 1)
-        pc = _og(in_count_s[...], nid, N)
+        pc = (_og(meta_s[...], nid, N) >> MB_IC) & 7
         max_e = jnp.max(jnp.where(instep & ~is_h, e, 0))
 
         def e_body(ee, pred):
@@ -557,7 +562,7 @@ def tb_lockstep(state, codes, best_i, rl, act, err_nw, *, K: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         best_i, rl, act, err_nw,
-        state["sortp"], state["in_count"], state["pos"], state["in_e"],
+        state["sortp"], state["meta"], state["pos"], state["in_e"],
         codes,
     )
 
@@ -579,13 +584,13 @@ def _add_kernel(
     ag_h, ar_h,                     # (NG, K, W) alignment from traceback
     read_h, wt_h,                   # (NG, Lp, W) chars / weights (wt is a
     #                                 (NG, 1, W) dummy when UNIT_W)
-    _n_h, _ic_h, _ie_h, _iw_h, _oc_h, _oe_h, _al_h, _alc_h, _cv_h,
+    _m_h, _ie_h, _iw_h, _oe_h, _al_h,
     # outputs: ANY aliased state planes + blocked nc/err
-    n_o, ic_o, ie_o, iw_o, oc_o, oe_o, al_o, alc_o, cv_o,
+    m_o, ie_o, iw_o, oe_o, al_o,
     ncount_ref, err_ref,
     # scratch: the single resident copy of the group's planes
     ag_s, ar_s, read_s, wt_s,
-    n_s, ic_s, ie_s, iw_s, oc_s, oe_s, al_s, alc_s, cv_s,
+    m_s, ie_s, iw_s, oe_s, al_s,
     sem,
     *, N: int, E: int, EO: int, A: int, Lp: int, K: int, UNIT_W: bool,
     INTERP: bool,
@@ -593,9 +598,8 @@ def _add_kernel(
     g = pl.program_id(0)
     pairs = [
         (ag_s, ag_h), (ar_s, ar_h), (read_s, read_h),
-        (n_s, _n_h), (ic_s, _ic_h), (ie_s, _ie_h), (iw_s, _iw_h),
-        (oc_s, _oc_h), (oe_s, _oe_h), (al_s, _al_h), (alc_s, _alc_h),
-        (cv_s, _cv_h),
+        (m_s, _m_h), (ie_s, _ie_h), (iw_s, _iw_h),
+        (oe_s, _oe_h), (al_s, _al_h),
     ]
     if not UNIT_W:
         pairs.insert(3, (wt_s, wt_h))
@@ -622,15 +626,16 @@ def _add_kernel(
 
         gid_c = jnp.clip(gid, 0, N - 1)
         has_gid = act & (gid != -1)
-        gbase = _og(n_s[...], gid_c, N)
-        na = jnp.where(has_gid, _og(alc_s[...], gid_c, N), 0)
+        mgid = _og(m_s[...], gid_c, N)  # one gather: base + alc together
+        gbase = mgid & 255
+        na = jnp.where(has_gid, (mgid >> MB_ALC) & 15, 0)
         max_na = jnp.max(jnp.where(has_gid & (gbase != base), na, 0))
 
         # aligned-node search (first matching base)
         def al_scan(a, c):
             found, first_al = c
             aid = _og(al_s[a], gid_c, N)
-            abase = _og(n_s[...], jnp.clip(aid, 0, N - 1), N)
+            abase = _og(m_s[...], jnp.clip(aid, 0, N - 1), N) & 255
             m = (a < na) & (abase == base)
             first_al = jnp.where(m & (found == 0), aid, first_al)
             return jnp.maximum(found, m.astype(jnp.int32)), first_al
@@ -654,18 +659,14 @@ def _add_kernel(
                          1, errv)
         ncount_ref[0, pl.ds(0, 1), :] = jnp.where(act, ncount2, ncount)
 
-        # init new node
+        # init new node: every scalar field in ONE packed write (base
+        # with ic = oc = alc = cov = 0)
         mnew = (iN == cur_c) & new_node
-        n_s[...] = jnp.where(mnew, base, n_s[...])
-        oc_s[...] = jnp.where(mnew, 0, oc_s[...])
-        ic_s[...] = jnp.where(mnew, 0, ic_s[...])
-        cv_s[...] = jnp.where(mnew, 0, cv_s[...])
-        alc_v = jnp.where(mnew, 0, alc_s[...])
+        m_s[...] = jnp.where(mnew, base, m_s[...])
 
         # aligned-list updates for a new aligned node (plane cap A -> err 6)
         ok_cap = new_al & (na + 1 <= A - 1)
         errv = jnp.where(new_al & (na + 1 > A - 1) & (errv == 0), 6, errv)
-        alc_s[...] = alc_v
 
         # new aligned nodes are rare (one per mismatch column against an
         # un-aligned existing base); the static A-wide list rewrite below
@@ -674,27 +675,31 @@ def _add_kernel(
         # masked by ok_cap, so skipping is exact)
         @pl.when(jnp.any(ok_cap))
         def _aligned_updates():
-            alc_v = alc_s[...]
+            ALCM = jnp.int32(15 << MB_ALC)
+            mv = m_s[...]
 
-            def al_upd(a, alc_v):
+            def al_upd(a, mv):
                 aid = _og(al_s[a], gid_c, N)
                 aid_c = jnp.clip(aid, 0, N - 1)
                 m_a = ok_cap & (a < na)
-                acnt = _og(alc_v, aid_c, N)
+                acnt = (_og(mv, aid_c, N) >> MB_ALC) & 15
                 macnt = jnp.minimum(acnt, A - 1)
                 for a2 in range(A):
                     al_s[a2] = jnp.where(
                         (iN == aid_c) & m_a & (macnt == a2), cur_c,
                         al_s[a2],
                     )
-                alc_v = _sc(alc_v, aid_c, acnt + 1, m_a, N)
+                # alc(aid) = acnt + 1 (acnt <= A before err, field safe)
+                mv = jnp.where(
+                    (iN == aid_c) & m_a, mv + (1 << MB_ALC), mv
+                )
                 # cur's own list entry a = aid
                 al_s[a] = jnp.where(
                     (iN == cur_c) & m_a, aid_c, al_s[a]
                 )
-                return alc_v
+                return mv
 
-            alc_v = jax.lax.fori_loop(0, max_na, al_upd, alc_v)
+            mv = jax.lax.fori_loop(0, max_na, al_upd, mv)
 
             for a2 in range(A):
                 sel = ok_cap & (na == a2)
@@ -705,14 +710,17 @@ def _add_kernel(
                     (iN == cur_c) & sel, gid_c, al_s[a2]
                 )
 
-            alc_v = _sc(alc_v, gid_c, na + 1, ok_cap, N)
-            alc_v = _sc(alc_v, cur_c, na + 1, ok_cap, N)
-            alc_s[...] = alc_v
+            nal = (na + 1) << MB_ALC
+            mv = jnp.where(
+                ((iN == gid_c) | (iN == cur_c)) & ok_cap,
+                (mv & ~ALCM) | nal, mv,
+            )
+            m_s[...] = mv
 
         # edge insertion / weight update
         has_head = act & (head != -1)
         head_c = jnp.clip(head, 0, N - 1)
-        ic = jnp.where(has_head, _og(ic_s[...], cur_c, N), 0)
+        ic = jnp.where(has_head, (_og(m_s[...], cur_c, N) >> MB_IC) & 7, 0)
         icc = jnp.minimum(ic, E)
         max_ic = jnp.max(icc)
         dw = prev_w + w
@@ -731,7 +739,7 @@ def _add_kernel(
         )
         app = has_head & (exists == 0)
         # plane-cap guard: appending needs ic < E and oc < EO slots
-        oc = jnp.where(app, _og(oc_s[...], head_c, N), 0)
+        oc = jnp.where(app, (_og(m_s[...], head_c, N) >> MB_OC) & 15, 0)
         cap_bad = app & ((ic >= E) | (oc >= EO))
         errv = jnp.where(cap_bad & (errv == 0), 6, errv)
         app = app & ~cap_bad
@@ -747,8 +755,6 @@ def _add_kernel(
             return 0
 
         jax.lax.fori_loop(0, jnp.minimum(max_ic + 1, E), e_app, 0)
-        ic_s[...] = jnp.where((iN == cur_c) & app,
-                              ic_s[...] + 1, ic_s[...])
 
         max_oc = jnp.max(jnp.where(app, oc, 0))
 
@@ -760,14 +766,16 @@ def _add_kernel(
             return 0
 
         jax.lax.fori_loop(0, jnp.minimum(max_oc + 1, EO), o_app, 0)
-        oc_s[...] = jnp.where(
-            (iN == head_c) & app, oc_s[...] + 1, oc_s[...]
-        )
         # reference edge-count error (>= 50) is unreachable under the
         # plane caps; cap hits are err 6 (retry tier) above.
 
-        cv_s[...] = jnp.where((iN == cur_c) & act, cv_s[...] + 1,
-                              cv_s[...])
+        # fused field increments: cov++ (act) + ic++ (app) at cur, and
+        # oc++ (app) at head — two packed passes instead of three
+        d_cur = (jnp.where(act, ONE_COV, 0)
+                 + jnp.where(app, ONE_IC, 0))
+        m_s[...] = jnp.where((iN == cur_c), m_s[...] + d_cur, m_s[...])
+        m_s[...] = jnp.where((iN == head_c) & app, m_s[...] + ONE_OC,
+                             m_s[...])
         err_ref[0, pl.ds(0, 1), :] = errv
         head = jnp.where(act, cur_c, head)
         prev_w = jnp.where(act, w, prev_w)
@@ -779,9 +787,8 @@ def _add_kernel(
          jnp.int32(_SRC_TAG)),
     )
     _copy_planes_out(
-        ((n_s, n_o), (ic_s, ic_o), (ie_s, ie_o), (iw_s, iw_o),
-         (oc_s, oc_o), (oe_s, oe_o), (al_s, al_o), (alc_s, alc_o),
-         (cv_s, cv_o)),
+        ((m_s, m_o), (ie_s, ie_o), (iw_s, iw_o), (oe_s, oe_o),
+         (al_s, al_o)),
         INTERP, sem, g,
     )
 
@@ -791,7 +798,7 @@ def add_lockstep(state, ag, ar, klen, read_pl, wt_pl, act, *,
     """Add the traceback alignments to the graphs in place. Returns the
     updated state dict (aliased buffers donated). Capacity caps are taken
     from the state plane shapes."""
-    NG, N, _ = state["nodes"].shape
+    NG, N, _ = state["meta"].shape
     E = state["in_e"].shape[1]
     EO = state["out_e"].shape[1]
     A = state["al"].shape[1]
@@ -804,10 +811,9 @@ def add_lockstep(state, ag, ar, klen, read_pl, wt_pl, act, *,
     )
     kern = functools.partial(_add_kernel, N=N, E=E, EO=EO, A=A, Lp=Lp, K=K,
                              UNIT_W=unit_w, INTERP=interpret)
-    mut = ["nodes", "in_count", "in_e", "in_w", "out_count", "out_e",
-           "al", "al_count", "cov"]
+    mut = ["meta", "in_e", "in_w", "out_e", "al"]
     shapes = {k: state[k].shape for k in mut}
-    # inputs: klen, act, nc, err, ag, ar, read, wt, then the 9 planes
+    # inputs: klen, act, nc, err, ag, ar, read, wt, then the 5 planes
     aliases = {8 + i: i for i in range(len(mut))}
     aliases[2] = len(mut)      # node_count
     aliases[3] = len(mut) + 1  # error
@@ -817,9 +823,8 @@ def add_lockstep(state, ag, ar, klen, read_pl, wt_pl, act, *,
         in_specs=[
             b1(1, W), b1(1, W), b1(1, W), b1(1, W),
             any_or(K, W), any_or(K, W), any_or(Lp, W), any_or(LpW, W),
-            any_or(N, W), any_or(N, W), any_or(E, N, W), any_or(E, N, W),
-            any_or(N, W), any_or(EO, N, W), any_or(A, N, W), any_or(N, W),
-            any_or(N, W),
+            any_or(N, W), any_or(E, N, W), any_or(E, N, W),
+            any_or(EO, N, W), any_or(A, N, W),
         ],
         out_specs=tuple(any_or(*shapes[k][1:]) for k in mut)
         + (b1(1, W), b1(1, W)),
@@ -837,14 +842,10 @@ def add_lockstep(state, ag, ar, klen, read_pl, wt_pl, act, *,
             pltpu.VMEM((Lp, W), jnp.int32),
             pltpu.VMEM((LpW, W), jnp.int32),
             pltpu.VMEM((N, W), jnp.int32),
-            pltpu.VMEM((N, W), jnp.int32),
             pltpu.VMEM((E, N, W), jnp.int32),
             pltpu.VMEM((E, N, W), jnp.int32),
-            pltpu.VMEM((N, W), jnp.int32),
             pltpu.VMEM((EO, N, W), jnp.int32),
             pltpu.VMEM((A, N, W), jnp.int32),
-            pltpu.VMEM((N, W), jnp.int32),
-            pltpu.VMEM((N, W), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -852,9 +853,8 @@ def add_lockstep(state, ag, ar, klen, read_pl, wt_pl, act, *,
     )(
         klen, act, state["node_count"], state["error"],
         ag, ar, read_pl, wt_pl,
-        state["nodes"], state["in_count"], state["in_e"], state["in_w"],
-        state["out_count"], state["out_e"], state["al"], state["al_count"],
-        state["cov"],
+        state["meta"], state["in_e"], state["in_w"], state["out_e"],
+        state["al"],
     )
     new_state = dict(state)
     for k, v in zip(mut + ["node_count", "error"], outs):
@@ -869,16 +869,16 @@ def add_lockstep(state, ag, ar, klen, read_pl, wt_pl, act, *,
 
 def _topsort_kernel(
     ncount_ref, act_ref, err_ref,    # blocked (1, 1, W)
-    in_count_h, out_count_h, out_e_h, _sp_h, _po_h,   # ANY planes
+    meta_h, out_e_h, _sp_h, _po_h,   # ANY planes
     sortp_o, pos_o, erro_ref,        # outputs (sortp/pos ANY, aliased)
-    oc_s, oe_s, sortp_s, pos_s,      # VMEM scratch planes
-    local,                           # scratch (N, W); staged from in_count
+    meta_s, oe_s, sortp_s, pos_s,    # VMEM scratch planes
+    local,                           # scratch (N, W): remaining in-degrees
     sem,
     *, N: int, EO: int, INTERP: bool,
 ):
     g = pl.program_id(0)
     _copy_planes(
-        ((local, in_count_h), (oc_s, out_count_h), (oe_s, out_e_h),
+        ((meta_s, meta_h), (oe_s, out_e_h),
          (sortp_s, _sp_h), (pos_s, _po_h)),
         INTERP, sem, g,
     )
@@ -889,7 +889,9 @@ def _topsort_kernel(
     iN = _iota(N)
     BIG = jnp.int32(1 << 20)
     in_graph = iN < nc
-    local[...] = jnp.where(in_graph & act, local[...], BIG)
+    local[...] = jnp.where(
+        in_graph & act, (meta_s[...] >> MB_IC) & 7, BIG
+    )
     is_seed = (local[...] == 0).astype(jnp.int32)
     rank = _excl_cumsum_sub(is_seed, N)
     tail0 = jnp.sum(is_seed, axis=0, keepdims=True)
@@ -915,7 +917,8 @@ def _topsort_kernel(
         node = sortp_s[pl.ds(i, 1), :]
         validv = act & (i < tail)
         nodec = jnp.clip(node, 0, N - 1)
-        oc = jnp.where(validv, _og(oc_s[...], nodec, N), 0)
+        oc = jnp.where(validv, (_og(meta_s[...], nodec, N) >> MB_OC) & 15,
+                       0)
         max_oc = jnp.max(oc)
 
         def e_body(e, tail):
@@ -947,7 +950,7 @@ def _topsort_kernel(
 
 
 def topsort_lockstep(state, act, *, interpret: bool = False):
-    NG, N, _ = state["nodes"].shape
+    NG, N, _ = state["meta"].shape
     EO = state["out_e"].shape[1]
     b1 = lambda *s: pl.BlockSpec((1,) + s, lambda g: (g,) + (0,) * len(s))
     any_or = lambda *s: (
@@ -959,7 +962,7 @@ def topsort_lockstep(state, act, *, interpret: bool = False):
         grid=(NG,),
         in_specs=[
             b1(1, W), b1(1, W), b1(1, W),
-            any_or(N, W), any_or(N, W), any_or(EO, N, W),
+            any_or(N, W), any_or(EO, N, W),
             any_or(N, W), any_or(N, W),
         ],
         out_specs=(any_or(N, W), any_or(N, W), b1(1, W)),
@@ -968,7 +971,7 @@ def topsort_lockstep(state, act, *, interpret: bool = False):
             jax.ShapeDtypeStruct((NG, N, W), jnp.int32),
             jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
         ),
-        input_output_aliases={6: 0, 7: 1},
+        input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
         scratch_shapes=[
             pltpu.VMEM((N, W), jnp.int32),
@@ -981,7 +984,7 @@ def topsort_lockstep(state, act, *, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         state["node_count"], act, state["error"],
-        state["in_count"], state["out_count"], state["out_e"],
+        state["meta"], state["out_e"],
         state["sortp"], state["pos"],
     )
     new_state = dict(state)
@@ -998,10 +1001,9 @@ def topsort_lockstep(state, act, *, interpret: bool = False):
 
 def _consensus_kernel(
     ncount_ref, err_ref, act_ref,    # blocked (1, 1, W)
-    nodes_h, in_count_h, in_e_h, in_w_h, out_count_h,
-    out_e_h, al_h, alc_h, cov_h, sortp_h, pos_h,   # ANY planes
+    meta_h, in_e_h, in_w_h, out_e_h, al_h, sortp_h, pos_h,  # ANY planes
     cons_ref_o, covo_ref_o, len_ref, erro_ref,     # outs (cons/cov ANY)
-    n_s, ic_s, ie_s, iw_s, oc_s, oe_s, al_s, alc_s, cv_s,
+    m_s, ie_s, iw_s, oe_s, al_s,
     sortp_s, pos_s,                 # VMEM scratch plane copies
     cons_s, covo_s,                 # VMEM scratch outputs (N, W)
     scores, preds,                  # scratch (N, W)
@@ -1010,9 +1012,8 @@ def _consensus_kernel(
 ):
     g = pl.program_id(0)
     _copy_planes(
-        ((n_s, nodes_h), (ic_s, in_count_h), (ie_s, in_e_h),
-         (iw_s, in_w_h), (oc_s, out_count_h), (oe_s, out_e_h),
-         (al_s, al_h), (alc_s, alc_h), (cv_s, cov_h),
+        ((m_s, meta_h), (ie_s, in_e_h), (iw_s, in_w_h),
+         (oe_s, out_e_h), (al_s, al_h),
          (sortp_s, sortp_h), (pos_s, pos_h)),
         INTERP, sem, g,
     )
@@ -1028,7 +1029,9 @@ def _consensus_kernel(
 
     def row_update(nid, row_act, skip_cleared):
         """Heaviest-in-edge selection with the reference tie-breaks."""
-        pc = jnp.where(row_act, _og(ic_s[...], nid, N), 0)
+        pc = jnp.where(
+            row_act, (_og(m_s[...], nid, N) >> MB_IC) & 7, 0
+        )
         if skip_cleared:
             s0 = jnp.full((1, W), -1, jnp.int32)
         else:
@@ -1079,12 +1082,12 @@ def _consensus_kernel(
     # branch completion (branchCompletion, generate_consensus.cuh)
     def bc_cond(c):
         max_id, loops = c
-        oc = _og(oc_s[...], max_id, N)
+        oc = (_og(m_s[...], max_id, N) >> MB_OC) & 15
         return jnp.any(act0 & (oc != 0) & (loops < nc))
 
     def bc_body(c):
         max_id, loops = c
-        oc = _og(oc_s[...], max_id, N)
+        oc = (_og(m_s[...], max_id, N) >> MB_OC) & 15
         br = act0 & (oc != 0) & (loops < nc)
         posv = _og(pos_s[...], max_id, N)
         max_oc = jnp.max(jnp.where(br, oc, 0))
@@ -1092,7 +1095,9 @@ def _consensus_kernel(
         def clear_body(oe, _):
             outv = jnp.clip(_og(oe_s[oe], max_id, N), 0, N - 1)
             m_oe = br & (oe < oc)
-            out_ic = jnp.where(m_oe, _og(ic_s[...], outv, N), 0)
+            out_ic = jnp.where(
+                m_oe, (_og(m_s[...], outv, N) >> MB_IC) & 7, 0
+            )
             max_ic = jnp.max(out_ic)
 
             def i_body(e2, _):
@@ -1149,14 +1154,17 @@ def _consensus_kernel(
         cur, k, done, steps = c
         a = done == 0
         cur_c = jnp.clip(cur, 0, N - 1)
-        ch = _og(n_s[...], cur_c, N)
-        cv = _og(cv_s[...], cur_c, N)
-        nal = _og(alc_s[...], cur_c, N)
+        mcur = _og(m_s[...], cur_c, N)  # base + cov + alc in one gather
+        ch = mcur & 255
+        cv = (mcur >> MB_COV) & 255
+        nal = (mcur >> MB_ALC) & 15
         max_nal = jnp.max(jnp.where(a, nal, 0))
 
         def a_body(t, cv):
             aid = _og(al_s[t], cur_c, N)
-            alcov = _og(cv_s[...], jnp.clip(aid, 0, N - 1), N)
+            alcov = (
+                _og(m_s[...], jnp.clip(aid, 0, N - 1), N) >> MB_COV
+            ) & 255
             return cv + jnp.where(t < nal, alcov, 0)
 
         cv = jax.lax.fori_loop(0, max_nal, a_body, cv)
@@ -1185,7 +1193,7 @@ def _consensus_kernel(
 
 def consensus_lockstep(state, act, *, interpret: bool = False):
     """Returns (cons (NG, N, W) BACKWARD order, cov, length, err)."""
-    NG, N, _ = state["nodes"].shape
+    NG, N, _ = state["meta"].shape
     E = state["in_e"].shape[1]
     EO = state["out_e"].shape[1]
     A = state["al"].shape[1]
@@ -1200,9 +1208,9 @@ def consensus_lockstep(state, act, *, interpret: bool = False):
         grid=(NG,),
         in_specs=[
             b1(1, W), b1(1, W), b1(1, W),
-            any_or(N, W), any_or(N, W), any_or(E, N, W), any_or(E, N, W),
-            any_or(N, W), any_or(EO, N, W), any_or(A, N, W), any_or(N, W),
-            any_or(N, W), any_or(N, W), any_or(N, W),
+            any_or(N, W), any_or(E, N, W), any_or(E, N, W),
+            any_or(EO, N, W), any_or(A, N, W),
+            any_or(N, W), any_or(N, W),
         ],
         out_specs=(any_or(N, W), any_or(N, W), b1(1, W), b1(1, W)),
         out_shape=(
@@ -1212,19 +1220,17 @@ def consensus_lockstep(state, act, *, interpret: bool = False):
             jax.ShapeDtypeStruct((NG, 1, W), jnp.int32),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((N, W), jnp.int32) for _ in range(2)]
+            [pltpu.VMEM((N, W), jnp.int32)]
             + [pltpu.VMEM((E, N, W), jnp.int32) for _ in range(2)]
-            + [pltpu.VMEM((N, W), jnp.int32)]
             + [pltpu.VMEM((EO, N, W), jnp.int32),
                pltpu.VMEM((A, N, W), jnp.int32)]
-            + [pltpu.VMEM((N, W), jnp.int32) for _ in range(8)]
+            + [pltpu.VMEM((N, W), jnp.int32) for _ in range(6)]
             + [pltpu.SemaphoreType.DMA]
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         state["node_count"], state["error"], act,
-        state["nodes"], state["in_count"], state["in_e"], state["in_w"],
-        state["out_count"], state["out_e"], state["al"], state["al_count"],
-        state["cov"], state["sortp"], state["pos"],
+        state["meta"], state["in_e"], state["in_w"],
+        state["out_e"], state["al"], state["sortp"], state["pos"],
     )

@@ -29,7 +29,10 @@ def pad_groups(B: int) -> int:
 
 
 def to_planes(state, NG: int):
-    """jax_poa graph state (leading dim B = NG*128) -> plane layout."""
+    """jax_poa graph state (leading dim B = NG*128) -> plane layout.
+    The five scalar per-node fields pack into ONE ``meta`` plane
+    (ops/poa_lockstep_pallas MB_* layout) so every in-kernel scalar
+    lookup is a single one-hot gather."""
 
     def t2(x):
         _, N = x.shape
@@ -42,12 +45,15 @@ def to_planes(state, NG: int):
     def t1(x):
         return x.reshape(NG, 1, W)
 
+    meta = (
+        state["nodes"]
+        | (state["in_count"] << lk.MB_IC)
+        | (state["out_count"] << lk.MB_OC)
+        | (state["al_count"] << lk.MB_ALC)
+        | (state["cov"] << lk.MB_COV)
+    )
     return {
-        "nodes": t2(state["nodes"]),
-        "in_count": t2(state["in_count"]),
-        "out_count": t2(state["out_count"]),
-        "al_count": t2(state["al_count"]),
-        "cov": t2(state["cov"]),
+        "meta": t2(meta),
         "sortp": t2(state["sorted"]),
         "pos": t2(state["pos_of"]),
         "in_e": t3(state["in_edges"]),
@@ -60,7 +66,7 @@ def to_planes(state, NG: int):
 
 
 def from_planes(planes):
-    """Plane layout -> jax_poa graph state layout."""
+    """Plane layout -> jax_poa graph state layout (meta unpacked)."""
 
     def t2(x):
         NG, N, _ = x.shape
@@ -73,12 +79,13 @@ def from_planes(planes):
     def t1(x):
         return x.reshape(-1)
 
+    meta = t2(planes["meta"])
     return {
-        "nodes": t2(planes["nodes"]),
-        "in_count": t2(planes["in_count"]),
-        "out_count": t2(planes["out_count"]),
-        "al_count": t2(planes["al_count"]),
-        "cov": t2(planes["cov"]),
+        "nodes": meta & 255,
+        "in_count": (meta >> lk.MB_IC) & 7,
+        "out_count": (meta >> lk.MB_OC) & 15,
+        "al_count": (meta >> lk.MB_ALC) & 15,
+        "cov": (meta >> lk.MB_COV) & 255,
         "sorted": t2(planes["sortp"]),
         "pos_of": t2(planes["pos"]),
         "in_edges": t3(planes["in_e"]),
@@ -136,12 +143,13 @@ def _chain_vmem(N: int, D: int, Lp: int, K: int,
     only the NW kernel while the blocked add/consensus kernels staged 2x
     in+out copies of all 35/37 planes — the covid VMEM OOM (VERDICT r4)."""
     E, EO, A = E_LK, EO_LK, A_LK
-    nw = N * (5 + E) + 2 * (Lp + 3) + D * Lp // 2 + D + 5 * Lp + 16
+    # the packed meta plane replaces the 5 scalar per-node planes
+    nw = N * (3 + E) + 2 * (Lp + 3) + D * Lp // 2 + D + 5 * Lp + 16
     tb = N * (3 + E) + 2 * (2 * K + 4) + 4 * Lp + 16
-    add = (N * (5 + 2 * E + EO + A) + 2 * K + Lp
+    add = (N * (1 + 2 * E + EO + A) + 2 * K + Lp
            + (Lp if weighted else 1) + 2 * 16)
-    ts = N * (5 + EO) + 2 * 8
-    cons = N * (9 + 2 * E + EO + A) + 2 * 8
+    ts = N * (4 + EO) + 2 * 8
+    cons = N * (7 + 2 * E + EO + A) + 2 * 8
     return 4 * W * max(nw, tb, add, ts, cons)
 
 
