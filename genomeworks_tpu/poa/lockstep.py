@@ -309,9 +309,16 @@ def _get_chain(NG, S, L, Lp, N, D, K, gap, mismatch, match, unit_w, packed,
         cov = jnp.transpose(cov, (0, 2, 1)).reshape(B, N)
         # one byte-packed D2H for the big planes (cov <= S <= 255), one
         # small i32 pair — each separate device->host sync costs ~30 ms of
-        # tunnel latency
+        # tunnel latency. ACGT batches nibble-pack the consensus (codes
+        # 0..4 after the in-kernel +1): the tunnel runs ~50 MB/s, so the
+        # N/2 bytes/window saved are ~3% of the covid wall time.
+        if packed:
+            c2 = cons.reshape(B, N // 2, 2)
+            cons_u8 = (c2[:, :, 0] | (c2[:, :, 1] << 4)).astype(jnp.uint8)
+        else:
+            cons_u8 = cons.astype(jnp.uint8)
         u8 = jnp.concatenate(
-            [cons.astype(jnp.uint8), jnp.clip(cov, 0, 255).astype(jnp.uint8)],
+            [cons_u8, jnp.clip(cov, 0, 255).astype(jnp.uint8)],
             axis=1,
         )
         meta = jnp.stack([length.reshape(B), err.reshape(B)], axis=1)
@@ -385,9 +392,16 @@ def _finish_bucket(handle):
     except Exception:
         _FAILED_KEYS.add(key)
         raise
-    cons, cov = u8[:, :N], u8[:, N:].astype(np.int32)
     if acgt:
+        # unpack the nibble-packed consensus (see the chain's D2H note)
+        pc = u8[:, : N // 2]
+        cons = np.empty((u8.shape[0], N), np.uint8)
+        cons[:, 0::2] = pc & 15
+        cons[:, 1::2] = pc >> 4
         cons = dec[cons & 7]
+        cov = u8[:, N // 2 :].astype(np.int32)
+    else:
+        cons, cov = u8[:, :N], u8[:, N:].astype(np.int32)
     length, err = meta[:, 0], meta[:, 1]
     o_cons, o_cov, o_st = [], [], []
     for b in range(B0):
